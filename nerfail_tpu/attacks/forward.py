@@ -1,0 +1,131 @@
+"""The differentiable attack forward: 3D splat → composite → classify.
+
+Re-designs `gauss_net.forward` (model/GaussNet.py:46-159) as a pure
+function. Semantics preserved exactly (all in 0-255 pixel space):
+
+  s        = perturbation point set, [M, 4] RGBA (M = p·H·W)
+  splat    = Σ_j w_j · s[idx_j]                     (8-NN gaussian gather)
+  α        = splat_alpha / 255                      (GaussNet.py:85)
+  r        = clip(splat_rgb · α, -ε, +ε)            (ε-clip INSIDE forward,
+                                                     GaussNet.py:106-110)
+  attacked = clip(where(ori_α>0, ori_rgb + r, 0) ∥ ori_α, 0, 255)
+  white    = where(α>0, rgb, 255) for both attacked and clean
+  resize   = bilinear to the classifier's input size (differentiable —
+             attack grads flow through it)
+  logits   = classifier(white_attacked), classifier(white_clean)
+
+plus `universal_2D_net` (GaussNet.py:340-385) for the 2D baselines.
+
+The backward path (classifier grad → resize → composite → scatter-add into
+the point set) is the hot op of every attack iteration; the splat gather
+carries a custom segment-sum VJP (ops/splat.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerfail_tpu.ops.splat import splat_gather
+
+
+def make_classifier_logits_fn(
+    model: nn.Module, params, extra
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Eval-mode classifier: [B, S, S, 3] 0-255 floats → [B, C] logits."""
+
+    def logits_fn(x: jnp.ndarray) -> jnp.ndarray:
+        out = model.apply({"params": params, **extra}, x, train=False)
+        return out[0] if isinstance(out, tuple) else out
+
+    return logits_fn
+
+
+def white_composite_255(rgb: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """rgb where alpha>0 else 255 (GaussNet.py:127-145)."""
+    return jnp.where(alpha > 0, rgb, 255.0)
+
+
+def resize_batch(x: jnp.ndarray, size: Optional[int]) -> jnp.ndarray:
+    if size is None or x.shape[1] == size:
+        return x
+    return jax.image.resize(
+        x, (x.shape[0], size, size, x.shape[-1]), method="bilinear"
+    )
+
+
+def splat_attack_forward(
+    point_rgba: jnp.ndarray,     # [M, 4] perturbation point set (0-255)
+    weights: jnp.ndarray,        # [B, H, W, 8]
+    idx: jnp.ndarray,            # [B, H, W, 8] int32 into point set
+    ori_img: jnp.ndarray,        # [B, H, W, 4] clean RGBA (0-255)
+    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    eps: Optional[float] = None,
+    resize_to: Optional[int] = 299,
+) -> Dict[str, jnp.ndarray]:
+    """Returns dict(splat, attacked_rgba, logits, ori_logits, eps_stats)."""
+    splat = splat_gather(point_rgba, idx, weights)        # [B, H, W, 4]
+    alpha = splat[..., 3:4] / 255.0
+    ori_alpha = ori_img[..., 3:4]
+
+    r = splat[..., :3] * alpha
+    # effective 3D perturbation range diagnostic (GaussNet.py:89-103)
+    r_masked = jnp.where(alpha > 0, r, 0.0)
+    eps_stats = (jnp.min(r_masked), jnp.max(r_masked))
+    if eps is not None:
+        r = jnp.clip(r, -eps, eps)
+
+    x_rgb = ori_img[..., :3] + r
+    x_rgb = jnp.where(ori_alpha > 0, x_rgb, 0.0)
+    x_rgba = jnp.clip(
+        jnp.concatenate([x_rgb, ori_alpha], axis=-1), 0.0, 255.0
+    )
+
+    cla_x = white_composite_255(x_rgba[..., :3], ori_alpha)
+    cla_ori = white_composite_255(ori_img[..., :3], ori_alpha)
+    logits = logits_fn(resize_batch(cla_x, resize_to))
+    ori_logits = logits_fn(resize_batch(cla_ori, resize_to))
+    return {
+        "splat": splat,
+        "attacked_rgba": x_rgba,
+        "logits": logits,
+        "ori_logits": ori_logits,
+        "eps_min": eps_stats[0],
+        "eps_max": eps_stats[1],
+    }
+
+
+def universal_2d_forward(
+    delta: jnp.ndarray,          # [H, W, 3] or [B, H, W, 3] (0-255 space)
+    ori_img: jnp.ndarray,        # [B, H, W, 4] clean RGBA (0-255)
+    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    resize_to: Optional[int] = 299,
+) -> Dict[str, jnp.ndarray]:
+    """2D baseline forward (universal_2D_net, GaussNet.py:356-385):
+    broadcast-add the perturbation, clip, white-composite, classify."""
+    ori_alpha = ori_img[..., 3:4]
+    if delta.ndim == 3:
+        delta = delta[None]
+    x_rgb = jnp.clip(ori_img[..., :3] + delta, 0.0, 255.0)
+    cla_x = white_composite_255(x_rgb, ori_alpha)
+    cla_ori = white_composite_255(ori_img[..., :3], ori_alpha)
+    logits = logits_fn(resize_batch(cla_x, resize_to))
+    ori_logits = logits_fn(resize_batch(cla_ori, resize_to))
+    return {
+        "attacked_rgb": cla_x,
+        "logits": logits,
+        "ori_logits": ori_logits,
+    }
+
+
+def zero_init_mask(mask_images: jnp.ndarray) -> jnp.ndarray:
+    """Initial perturbation stack: RGB zeroed, alpha kept
+    (attack_NeRFail.py:276-282). mask_images: [p, H, W, 4] 0-255."""
+    return jnp.concatenate(
+        [jnp.zeros_like(mask_images[..., :3]), mask_images[..., 3:4]],
+        axis=-1,
+    )

@@ -1,0 +1,135 @@
+"""NeRFail-S: IGSM-style sign-step attack on the shared 3D point set.
+
+Re-designs attack_NeRFail_S.py (reference :27-453). Per epoch, for every
+batch of views:
+
+  loss  = (1-β)·CE(attacked logits, label) + β·MSE(attacked, clean)   (β=0)
+  δ_rgb ← δ_rgb ± a·sign(∂loss/∂δ_rgb)      (+ untargeted, − targeted,
+                                             attack_NeRFail_S.py:346-372)
+  δ_rgb ← 0 outside the mask alpha
+  δ_rgb ← clip into [δ₀−ε, δ₀+ε]            (ε-ball projection :384-392)
+
+The whole batch update (splat forward, CE, gradient, sign step, projection)
+is ONE jitted XLA program; the view axis is batch-sharded-ready. Best
+tensor by attack accuracy is tracked host-side like the reference
+(:422-431).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfail_tpu.config import AttackConfig
+from nerfail_tpu.attacks.forward import splat_attack_forward
+
+
+def make_nerfail_s_step(
+    logits_fn: Callable,
+    cfg: AttackConfig,
+    resize_to: Optional[int],
+) -> Callable:
+    """Jitted (δ, δ0, batch) → (δ', metrics)."""
+
+    @jax.jit
+    def step(delta, delta0, weights, idx, ori_img, labels):
+        def loss_fn(d):
+            out = splat_attack_forward(
+                d.reshape(-1, 4), weights, idx, ori_img, logits_fn,
+                eps=cfg.eps, resize_to=resize_to,
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                out["logits"], labels
+            ).mean()
+            mse = jnp.mean((out["attacked_rgba"] - ori_img) ** 2)
+            loss = (1.0 - cfg.beta) * ce + cfg.beta * mse
+            return loss, out
+
+        (loss, out), grad = jax.value_and_grad(loss_fn, has_aux=True)(delta)
+
+        sign = jnp.sign(grad[..., :3])
+        direction = -1.0 if cfg.targeted else 1.0
+        rgb = delta[..., :3] + direction * cfg.a * sign
+        alpha = delta[..., 3:4]
+        rgb = jnp.where(alpha > 0, rgb, 0.0)
+        # ε-ball around the initial tensor
+        rgb = jnp.clip(
+            rgb, delta0[..., :3] - cfg.eps, delta0[..., :3] + cfg.eps
+        )
+        new_delta = jnp.concatenate([rgb, alpha], axis=-1)
+
+        preds = jnp.argmax(out["logits"], axis=-1)
+        ori_preds = jnp.argmax(out["ori_logits"], axis=-1)
+        metrics = {
+            "loss": loss,
+            "attacked_correct": jnp.sum(preds == labels),
+            "clean_correct": jnp.sum(ori_preds == labels),
+            "eps_min": out["eps_min"],
+            "eps_max": out["eps_max"],
+        }
+        return new_delta, metrics
+
+    return step
+
+
+@dataclass
+class AttackResult:
+    delta: np.ndarray                  # best perturbation stack [p, H, W, 4]
+    history: List[Dict] = field(default_factory=list)
+    best_attack_acc: float = 1.0
+
+
+def nerfail_s_attack(
+    delta0: np.ndarray,          # [p, H, W, 4] zero-init mask stack
+    weights: np.ndarray,         # [N, H, W, 8] per-view gaussian weights
+    idx: np.ndarray,             # [N, H, W, 8]
+    ori_imgs: np.ndarray,        # [N, H, W, 4] clean views (0-255)
+    labels: np.ndarray,          # [N] true class (or target if targeted)
+    logits_fn: Callable,
+    cfg: AttackConfig,
+    resize_to: Optional[int] = 299,
+    log_fn: Optional[Callable] = None,
+    epochs: Optional[int] = None,
+) -> AttackResult:
+    """Host driver: epochs × batches, best-tensor tracking by attack acc."""
+    step_fn = make_nerfail_s_step(logits_fn, cfg, resize_to)
+    n = ori_imgs.shape[0]
+    bs = cfg.batch_size
+    epochs = epochs if epochs is not None else cfg.attack_epochs
+
+    delta = jnp.asarray(delta0)
+    delta0_d = jnp.asarray(delta0)
+    result = AttackResult(delta=np.asarray(delta0))
+
+    for epoch in range(epochs):
+        attacked_correct = clean_correct = 0
+        t0 = time.time()
+        for s in range(0, n - (n % bs) or n, bs):
+            batch = slice(s, min(s + bs, n))
+            delta, m = step_fn(
+                delta, delta0_d,
+                jnp.asarray(weights[batch]), jnp.asarray(idx[batch]),
+                jnp.asarray(ori_imgs[batch]), jnp.asarray(labels[batch]),
+            )
+            attacked_correct += int(m["attacked_correct"])
+            clean_correct += int(m["clean_correct"])
+        attack_acc = attacked_correct / n
+        entry = {
+            "epoch": epoch,
+            "attack_acc": attack_acc,
+            "clean_acc": clean_correct / n,
+            "time_s": time.time() - t0,
+        }
+        result.history.append(entry)
+        if log_fn:
+            log_fn(epoch, entry)
+        if attack_acc < result.best_attack_acc:
+            result.best_attack_acc = attack_acc
+            result.delta = np.asarray(delta)
+    return result

@@ -1,0 +1,57 @@
+"""Classifier factory — the reference's getModel (model/GetModel.py:13-51).
+
+Maps a model name to (flax module, input resize policy). Resize policy
+matches the reference: 224² for vit_b_16 / mixer_b, no resize for
+my_model (it consumes the raw 800² render), 299² for everything else.
+
+Models are trained from scratch on the 8-class nerf-synthetic renders (the
+reference also trains from scratch / partially pretrained; we have no
+pretrained weights offline).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+
+from nerfail_tpu.models.classifiers.inception_v3 import InceptionV3
+from nerfail_tpu.models.classifiers.incresv2 import InceptionResNetV2
+from nerfail_tpu.models.classifiers.resnet import ResNet50
+from nerfail_tpu.models.classifiers.simple_cnn import SimpleCNN
+from nerfail_tpu.models.classifiers.small_nets import AlexNet, MobileNetV2
+from nerfail_tpu.models.classifiers.densenet import DenseNet121
+from nerfail_tpu.models.classifiers.efficientnet import EfficientNetB0
+from nerfail_tpu.models.classifiers.vgg import VGG16
+from nerfail_tpu.models.classifiers.vit import MlpMixer, ViT
+
+# name → (constructor, input_size or None for native-resolution)
+CLASSIFIER_REGISTRY: Dict[str, Tuple[Callable[..., nn.Module], Optional[int]]] = {
+    "inception": (lambda n=8: InceptionV3(num_classes=n), 299),
+    "incresv2": (lambda n=8: InceptionResNetV2(num_classes=n), 299),
+    "resnet50": (lambda n=8: ResNet50(num_classes=n), 299),
+    "vgg16": (lambda n=8: VGG16(num_classes=n), 299),
+    "alexnet": (lambda n=8: AlexNet(num_classes=n), 299),
+    "mobilenet_v2": (lambda n=8: MobileNetV2(num_classes=n), 299),
+    "densenet121": (lambda n=8: DenseNet121(num_classes=n), 299),
+    "efficientnet_b0": (lambda n=8: EfficientNetB0(num_classes=n), 299),
+    "vit_b_16": (lambda n=8: ViT(num_classes=n), 224),
+    "mixer_b": (lambda n=8: MlpMixer(num_classes=n), 224),
+    "my_model": (lambda n=8: SimpleCNN(num_classes=n), None),
+}
+
+
+def get_classifier(name: str, num_classes: int = 8) -> nn.Module:
+    if name not in CLASSIFIER_REGISTRY:
+        raise ValueError(
+            f"unknown classifier '{name}'; have {sorted(CLASSIFIER_REGISTRY)}"
+        )
+    ctor, _ = CLASSIFIER_REGISTRY[name]
+    return ctor(num_classes)
+
+
+def classifier_input_size(name: str) -> Optional[int]:
+    """Edge length the attack/eval pipelines resize to (None = keep 800²)."""
+    if name not in CLASSIFIER_REGISTRY:
+        raise ValueError(f"unknown classifier '{name}'")
+    return CLASSIFIER_REGISTRY[name][1]
