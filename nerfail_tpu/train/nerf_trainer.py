@@ -143,12 +143,18 @@ def make_train_step(
     rcfg: RenderConfig,
     tcfg: TrainConfig,
     precrop: bool,
+    mesh=None,
 ) -> Callable:
     """Build the jitted train step for one precrop phase.
 
     Two compiled variants exist over the run (precrop on/off) because the
     pixel-sampling bounds are shape-static; the trainer swaps at
     `precrop_iters` exactly like the reference branches at run_nerf.py:749.
+
+    With a `mesh`, the sampled ray batch is sharding-constrained onto the
+    "data" axis (DP over rays); combined with tensor-parallel param
+    shardings (parallel/shard.py) XLA inserts the grad psum/reduces over
+    ICI automatically.
     """
     optimizer = make_optimizer(tcfg)
 
@@ -159,6 +165,12 @@ def make_train_step(
             k_sample, images, poses, K, tcfg.N_rand,
             precrop, tcfg.precrop_frac, tcfg.no_batching,
         )
+        if mesh is not None:
+            from nerfail_tpu.parallel.shard import constrain_data
+
+            rays_o = constrain_data(rays_o, mesh)
+            rays_d = constrain_data(rays_d, mesh)
+            target = constrain_data(target, mesh)
 
         def loss_fn(p):
             out = render_rays(

@@ -1,0 +1,102 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfail_tpu.config import NeRFModelConfig, RenderConfig, TrainConfig
+from nerfail_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from nerfail_tpu.parallel.shard import (
+    nerf_param_pspec,
+    replicate,
+    shard_batch,
+    shard_nerf_params,
+)
+from nerfail_tpu.train.nerf_trainer import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def test_mesh_shape_factors():
+    assert mesh_shape_for(8) == (2, 4)
+    assert mesh_shape_for(4) == (1, 4)
+    assert mesh_shape_for(2) == (1, 2)
+    assert mesh_shape_for(1) == (1, 1)
+    assert mesh_shape_for(16, model_parallel=2) == (8, 2)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == 8
+
+
+def test_param_pspecs():
+    assert nerf_param_pspec("pts_0_w") == jax.sharding.PartitionSpec(None, "model")
+    assert nerf_param_pspec("alpha_w") == jax.sharding.PartitionSpec("model", None)
+    assert nerf_param_pspec("pts_0_b") == jax.sharding.PartitionSpec("model")
+    assert nerf_param_pspec("rgb_b") == jax.sharding.PartitionSpec(None)
+
+
+def test_sharded_train_step_matches_single_device():
+    """One sharded step == one unsharded step (same key) to fp tolerance."""
+    mcfg = NeRFModelConfig(netdepth=2, netwidth=64)
+    rcfg = RenderConfig(N_samples=8, N_importance=8, chunk=256)
+    tcfg = TrainConfig(N_rand=64, precrop_iters=0)
+    state = create_train_state(jax.random.PRNGKey(0), mcfg, rcfg, tcfg)
+
+    H = W = 16
+    images = jnp.ones((2, H, W, 3), jnp.float32) * 0.5
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (2, 4, 4))
+    K = jnp.array([[10.0, 0, 8.0], [0, 10.0, 8.0], [0, 0, 1]], jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    # single-device
+    step = make_train_step(mcfg, rcfg, tcfg, precrop=False)
+    p1, o1, m1 = step(state.params, state.opt_state, images, poses, K, key)
+
+    # sharded
+    mesh = make_mesh()
+    params_sh = {
+        "coarse": shard_nerf_params(mesh, state.params["coarse"]),
+        "fine": shard_nerf_params(mesh, state.params["fine"]),
+    }
+    opt_sh = make_optimizer(tcfg).init(params_sh)
+    step_sh = make_train_step(mcfg, rcfg, tcfg, precrop=False, mesh=mesh)
+    with mesh:
+        p2, o2, m2 = step_sh(
+            params_sh, opt_sh, replicate(mesh, images),
+            replicate(mesh, poses), replicate(mesh, K), key,
+        )
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    # params after update match
+    for k in p1["coarse"]:
+        np.testing.assert_allclose(
+            np.asarray(p1["coarse"][k]), np.asarray(p2["coarse"][k]),
+            rtol=1e-3, atol=1e-5,
+        )
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh()
+    batch = {"o": jnp.zeros((16, 3)), "scalar": jnp.zeros(())}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["o"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None
+    )
+
+
+def test_graft_dryrun():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
