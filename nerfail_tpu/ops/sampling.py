@@ -87,29 +87,29 @@ def sample_pdf(
                 key, cdf.shape[:-1] + (N_samples,), dtype=cdf.dtype
             )
 
-    # searchsorted 'right', then clamp to valid bin pairs.
-    inds = _batched_searchsorted(cdf, u)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    # Interval lookup WITHOUT gathers: take_along_axis is slow on TPU (the
+    # scatter/gather unit), but since cdf and bins are both ascending, the
+    # searchsorted-right neighbors are expressible as masked lane
+    # reductions over a [.., N_probes, M+1] broadcast — pure VPU work.
+    #   below = last j with cdf_j <= u   → masked max
+    #   above = first j with cdf_j > u   → masked min (empty → last entry)
+    ge = u[..., :, None] >= cdf[..., None, :]           # [.., N, M+1]
+    cdf_b = jnp.broadcast_to(cdf[..., None, :], ge.shape)
+    bins_b = jnp.broadcast_to(bins[..., None, :], ge.shape)
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_below = jnp.max(jnp.where(ge, cdf_b, neg), axis=-1)
+    cdf_above = jnp.min(jnp.where(ge, pos, cdf_b), axis=-1)
+    bins_below = jnp.max(jnp.where(ge, bins_b, neg), axis=-1)
+    bins_above = jnp.min(jnp.where(ge, pos, bins_b), axis=-1)
+    # u >= cdf_0 = 0 always holds, so 'below' is never empty; 'above' is
+    # empty only when u >= cdf_last — clamp to the last entry like the
+    # reference's min(inds, M) (run_nerf_helpers.py:226-227).
+    cdf_above = jnp.where(jnp.isinf(cdf_above), cdf[..., -1:], cdf_above)
+    bins_above = jnp.where(jnp.isinf(bins_above), bins[..., -1:], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)
-
-
-def _batched_searchsorted(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized right-searchsorted along the last axis.
-
-    cdf is sorted per row; comparing every probe against every edge is a
-    [..., N, M+1] broadcast + sum — ideal for the VPU, no gather needed.
-    For the typical M=62 coarse bins this beats a scan-based binary search.
-    """
-    return jnp.sum(
-        (u[..., :, None] >= cdf[..., None, :]).astype(jnp.int32), axis=-1
-    )
