@@ -122,6 +122,48 @@ def universal_2d_forward(
     }
 
 
+def gauss_get_r(
+    point_rgba: jnp.ndarray,     # [M, 4] perturbation point set (0-255)
+    dist: jnp.ndarray,           # [B, H, W, 8] raw 8-NN distances
+    idx: jnp.ndarray,            # [B, H, W, 8]
+    c: float = 0.02,
+    eps_reg: float = 0.001,
+) -> jnp.ndarray:
+    """Split variant 1 (GaussNet.py:189-268 `gauss_get_r`): convert raw
+    distances to gaussian weights inline, then splat → effective per-pixel
+    perturbation r [B, H, W, 3] (alpha-modulated)."""
+    from nerfail_tpu.pointset.weights import gauss_weights
+
+    w = gauss_weights(dist, c=c, eps=eps_reg)
+    splat = splat_gather(point_rgba, idx, w)
+    return splat[..., :3] * (splat[..., 3:4] / 255.0)
+
+
+def gauss_get_img(
+    r: jnp.ndarray,              # [B, H, W, 3] effective perturbation
+    ori_img: jnp.ndarray,        # [B, H, W, 4] clean RGBA (0-255)
+    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    eps: Optional[float] = None,
+    resize_to: Optional[int] = 299,
+) -> Dict[str, jnp.ndarray]:
+    """Split variant 2 (GaussNet.py:271-337 `gauss_get_img`): composite a
+    precomputed r onto the clean image and classify both."""
+    ori_alpha = ori_img[..., 3:4]
+    if eps is not None:
+        r = jnp.clip(r, -eps, eps)
+    x_rgb = jnp.where(ori_alpha > 0, ori_img[..., :3] + r, 0.0)
+    x_rgba = jnp.clip(
+        jnp.concatenate([x_rgb, ori_alpha], axis=-1), 0.0, 255.0
+    )
+    cla_x = white_composite_255(x_rgba[..., :3], ori_alpha)
+    cla_ori = white_composite_255(ori_img[..., :3], ori_alpha)
+    return {
+        "attacked_rgba": x_rgba,
+        "logits": logits_fn(resize_batch(cla_x, resize_to)),
+        "ori_logits": logits_fn(resize_batch(cla_ori, resize_to)),
+    }
+
+
 def zero_init_mask(mask_images: jnp.ndarray) -> jnp.ndarray:
     """Initial perturbation stack: RGB zeroed, alpha kept
     (attack_NeRFail.py:276-282). mask_images: [p, H, W, 4] 0-255."""

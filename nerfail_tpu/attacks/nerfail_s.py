@@ -34,11 +34,25 @@ def make_nerfail_s_step(
     logits_fn: Callable,
     cfg: AttackConfig,
     resize_to: Optional[int],
+    mesh=None,
 ) -> Callable:
-    """Jitted (δ, δ0, batch) → (δ', metrics)."""
+    """Jitted (δ, δ0, batch) → (δ', metrics).
+
+    With a `mesh`, the view batch is sharded over the "data" axis while δ
+    (the shared 3D perturbation) stays replicated — XLA inserts the psum
+    of ∂loss/∂δ across view shards over ICI, the multi-view analogue of
+    DP gradient sync (SURVEY.md §5).
+    """
 
     @jax.jit
     def step(delta, delta0, weights, idx, ori_img, labels):
+        if mesh is not None:
+            from nerfail_tpu.parallel.shard import constrain_data
+
+            weights = constrain_data(weights, mesh)
+            idx = constrain_data(idx, mesh)
+            ori_img = constrain_data(ori_img, mesh)
+            labels = constrain_data(labels, mesh)
         def loss_fn(d):
             out = splat_attack_forward(
                 d.reshape(-1, 4), weights, idx, ori_img, logits_fn,
@@ -96,9 +110,10 @@ def nerfail_s_attack(
     resize_to: Optional[int] = 299,
     log_fn: Optional[Callable] = None,
     epochs: Optional[int] = None,
+    mesh=None,
 ) -> AttackResult:
     """Host driver: epochs × batches, best-tensor tracking by attack acc."""
-    step_fn = make_nerfail_s_step(logits_fn, cfg, resize_to)
+    step_fn = make_nerfail_s_step(logits_fn, cfg, resize_to, mesh=mesh)
     n = ori_imgs.shape[0]
     bs = cfg.batch_size
     epochs = epochs if epochs is not None else cfg.attack_epochs

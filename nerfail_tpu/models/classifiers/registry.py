@@ -22,6 +22,7 @@ from nerfail_tpu.models.classifiers.simple_cnn import SimpleCNN
 from nerfail_tpu.models.classifiers.small_nets import AlexNet, MobileNetV2
 from nerfail_tpu.models.classifiers.densenet import DenseNet121
 from nerfail_tpu.models.classifiers.efficientnet import EfficientNetB0
+from nerfail_tpu.models.classifiers.swin import SwinB
 from nerfail_tpu.models.classifiers.vgg import VGG16
 from nerfail_tpu.models.classifiers.vit import MlpMixer, ViT
 
@@ -35,6 +36,9 @@ CLASSIFIER_REGISTRY: Dict[str, Tuple[Callable[..., nn.Module], Optional[int]]] =
     "mobilenet_v2": (lambda n=8: MobileNetV2(num_classes=n), 299),
     "densenet121": (lambda n=8: DenseNet121(num_classes=n), 299),
     "efficientnet_b0": (lambda n=8: EfficientNetB0(num_classes=n), 299),
+    # reference feeds swin 299² and lets torchvision pad internally; we use
+    # 224² so every stage is window-divisible (56→28→14→7) with no padding
+    "swin_b": (lambda n=8: SwinB(num_classes=n), 224),
     "vit_b_16": (lambda n=8: ViT(num_classes=n), 224),
     "mixer_b": (lambda n=8: MlpMixer(num_classes=n), 224),
     "my_model": (lambda n=8: SimpleCNN(num_classes=n), None),

@@ -22,6 +22,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfail_tpu.config import NeRFModelConfig
 
@@ -98,3 +99,34 @@ def apply_nerf(
 
 def nerf_param_count(params: Params) -> int:
     return sum(int(p.size) for p in params.values())
+
+
+def load_weights_from_keras(
+    cfg: NeRFModelConfig, weights: list, dtype=jnp.float32
+) -> Params:
+    """Build a param pytree from the official TF/Keras weight list.
+
+    Parity with `NeRF.load_weights_from_keras` (run_nerf_helpers.py:125-152):
+    the list alternates [kernel, bias] per layer in order trunk(D) →
+    feature → views → rgb → alpha. Keras kernels are already [in, out], so
+    unlike the torch port (which transposes into its [out, in] Linear
+    layout) they map straight onto our [in, out] matrices.
+    """
+    assert cfg.use_viewdirs, "keras import requires use_viewdirs"
+    params: Params = {}
+    idx = 0
+
+    def take():
+        nonlocal idx
+        w = jnp.asarray(np.asarray(weights[idx]), dtype)
+        b = jnp.asarray(np.asarray(weights[idx + 1]), dtype)
+        idx += 2
+        return w, b
+
+    for i in range(cfg.netdepth):
+        params[f"pts_{i}_w"], params[f"pts_{i}_b"] = take()
+    params["feature_w"], params["feature_b"] = take()
+    params["views_w"], params["views_b"] = take()
+    params["rgb_w"], params["rgb_b"] = take()
+    params["alpha_w"], params["alpha_b"] = take()
+    return params

@@ -204,6 +204,7 @@ def train_nerf(
     n_iters: Optional[int] = None,
     log_fn: Callable[[int, Dict[str, float]], None] = None,
     test_render: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    spiral_poses: Optional[np.ndarray] = None,
 ) -> NeRFTrainState:
     """Host driver: auto-resume, jitted steps, periodic checkpoint/render.
 
@@ -254,6 +255,27 @@ def train_nerf(
             save_checkpoint(
                 checkpoint_path(logdir, i + 1),
                 {"params": params, "opt_state": opt_state, "step": i + 1},
+            )
+        # periodic test-set render + PSNR (run_nerf.py:834-840) and spiral
+        # video (run_nerf.py:818-825)
+        if test_render is not None and (i + 1) % tcfg.i_testset == 0:
+            test_imgs, test_poses = test_render
+            psnr = eval_psnr(
+                NeRFTrainState(params, opt_state, i + 1), cfg,
+                test_imgs, test_poses, K,
+                np.arange(min(len(test_poses), 8)),
+            )
+            if log_fn is not None:
+                log_fn(i + 1, {"testset_psnr": psnr})
+        if logdir and spiral_poses is not None and (i + 1) % tcfg.i_video == 0:
+            from nerfail_tpu.render_path import render_path
+
+            H_img, W_img = images.shape[1:3]
+            render_path(
+                params, cfg, spiral_poses, H_img, W_img, np.asarray(K),
+                video_path=os.path.join(
+                    logdir, f"spiral_{i + 1:06d}.mp4"
+                ),
             )
 
     state = NeRFTrainState(params=params, opt_state=opt_state, step=n_iters)

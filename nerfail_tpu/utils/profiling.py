@@ -1,0 +1,108 @@
+"""Tracing + roofline accounting — the observability subsystem the
+reference lacks entirely (SURVEY.md §5: only wall-clock prints).
+
+  * `device_trace`  — context manager around jax.profiler (xplane dump
+    viewable in tensorboard/xprof)
+  * `timed`         — wall-clock timer with a true device fence (scalar
+    readback; `block_until_ready` does not fence through the axon tunnel)
+  * `roofline`      — compiled-FLOPs/bytes from XLA cost analysis +
+    achieved TFLOP/s / GB/s against the chip's peaks
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+# TPU v5e single-chip peaks (public spec)
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
+def fence(tree: Any) -> None:
+    """Force completion of every array in `tree` (scalar readback)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "shape"):
+            arr = np.asarray(leaf)
+            if arr.size:
+                arr.ravel()[0]
+
+
+def timed(fn: Callable, *args, iters: int = 20, warmup: int = 2) -> float:
+    """Mean wall-clock seconds per call with a device fence."""
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / iters
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """jax.profiler trace context (inspect with xprof/tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class Roofline:
+    seconds: float
+    flops: float
+    bytes_accessed: float
+    tflops_per_s: float
+    gbytes_per_s: float
+    flops_utilization: float
+    hbm_utilization: float
+    bound: str
+
+    def __str__(self) -> str:
+        return (
+            f"{self.seconds*1e3:.2f} ms | {self.tflops_per_s:.1f} TFLOP/s "
+            f"({self.flops_utilization:.0%} of peak) | "
+            f"{self.gbytes_per_s:.0f} GB/s ({self.hbm_utilization:.0%}) | "
+            f"{self.bound}-bound"
+        )
+
+
+def roofline(
+    jitted_fn: Callable,
+    *args,
+    iters: int = 20,
+    peak_tflops: float = V5E_PEAK_BF16_TFLOPS,
+    peak_gbps: float = V5E_HBM_GBPS,
+) -> Roofline:
+    """Measure a jitted function and place it on the chip roofline."""
+    lowered = jitted_fn.lower(*args)
+    cost = lowered.compile().cost_analysis()
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+
+    secs = timed(jitted_fn, *args, iters=iters)
+    tflops = flops / secs / 1e12
+    gbps = bytes_accessed / secs / 1e9
+    fu = tflops / peak_tflops
+    hu = gbps / peak_gbps
+    return Roofline(
+        seconds=secs,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+        tflops_per_s=tflops,
+        gbytes_per_s=gbps,
+        flops_utilization=fu,
+        hbm_utilization=hu,
+        bound="compute" if fu >= hu else "memory",
+    )

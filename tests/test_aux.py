@@ -1,0 +1,188 @@
+"""Tests: keras import, render_path, tools, profiling helpers, swin,
+gauss split variants, sharded attack step."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfail_tpu.config import (
+    AttackConfig, ExperimentConfig, NeRFModelConfig, RenderConfig, TrainConfig,
+)
+from nerfail_tpu.models.nerf import (
+    apply_nerf, init_nerf_params, load_weights_from_keras,
+)
+from nerfail_tpu.render_path import render_path, to8b
+from nerfail_tpu.utils.disturbance import invert_disturbance
+from nerfail_tpu.utils.notify import log_results, send_dict
+from nerfail_tpu.utils.profiling import timed
+
+
+class TestKerasImport:
+    def test_roundtrip(self, rng):
+        cfg = NeRFModelConfig(netdepth=2, netwidth=32)
+        src = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        weights = []
+        for name in ["pts_0", "pts_1", "feature", "views", "rgb", "alpha"]:
+            weights.append(np.asarray(src[f"{name}_w"]))
+            weights.append(np.asarray(src[f"{name}_b"]))
+        params = load_weights_from_keras(cfg, weights)
+        x = rng.standard_normal((4, cfg.input_ch)).astype(np.float32)
+        v = rng.standard_normal((4, cfg.input_ch_views)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(apply_nerf(params, cfg, jnp.asarray(x), jnp.asarray(v))),
+            np.asarray(apply_nerf(src, cfg, jnp.asarray(x), jnp.asarray(v))),
+            rtol=1e-6,
+        )
+
+
+class TestRenderPath:
+    def test_writes_pngs_npys_and_video(self, tmp_path):
+        cfg = ExperimentConfig(
+            model=NeRFModelConfig(netdepth=1, netwidth=16, multires=2,
+                                  multires_views=1),
+            render=RenderConfig(N_samples=4, N_importance=0, chunk=256),
+        )
+        params = {
+            "coarse": init_nerf_params(jax.random.PRNGKey(0), cfg.model),
+            "fine": None,
+        }
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        K = np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]], np.float32)
+        rgbs, disps = render_path(
+            params, cfg, poses, 8, 8, K,
+            save_dir=str(tmp_path / "renders"), save_coords=True,
+            video_path=str(tmp_path / "video.mp4"),
+        )
+        assert rgbs.shape == (2, 8, 8, 3)
+        assert (tmp_path / "renders" / "000.png").exists()
+        assert (tmp_path / "renders" / "001.npy").exists()
+        assert (tmp_path / "video.mp4").exists() or \
+            (tmp_path / "video.gif").exists()
+        coords = np.load(tmp_path / "renders" / "000.npy")
+        assert coords.shape == (8, 8, 3)
+
+    def test_to8b(self):
+        np.testing.assert_array_equal(
+            to8b(np.array([-1.0, 0.0, 0.5, 2.0])), [0, 0, 127, 255]
+        )
+
+
+class TestTools:
+    def test_invert_disturbance(self):
+        img = np.zeros((2, 2, 4), np.float32)
+        out = invert_disturbance(img)
+        np.testing.assert_array_equal(out, 255.0)
+
+    def test_send_dict_noop_without_creds(self):
+        assert send_dict("subj", {"a": 1}) is False
+
+    def test_log_results(self, tmp_path):
+        p = str(tmp_path / "log.jsonl")
+        log_results(p, "t1", {"asr": 0.5})
+        log_results(p, "t2", {"asr": 0.7})
+        lines = open(p).read().strip().split("\n")
+        assert len(lines) == 2 and '"asr": 0.5' in lines[0]
+
+
+class TestProfiling:
+    def test_timed(self):
+        f = jax.jit(lambda x: x * 2)
+        secs = timed(f, jnp.ones((16, 16)), iters=3, warmup=1)
+        assert 0 < secs < 5.0
+
+
+class TestSwin:
+    def test_forward_tiny(self):
+        from nerfail_tpu.models.classifiers.swin import SwinB
+
+        model = SwinB(num_classes=8, embed_dim=32, depths=(1, 1),
+                      num_heads=(2, 4), window=4)
+        x = jnp.ones((1, 32, 32, 3)) * 100.0
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 8)
+
+    def test_registered(self):
+        from nerfail_tpu.models.classifiers import (
+            CLASSIFIER_REGISTRY, classifier_input_size,
+        )
+
+        assert "swin_b" in CLASSIFIER_REGISTRY
+        assert classifier_input_size("swin_b") == 224
+
+
+class TestGaussSplitVariants:
+    def test_r_then_img_matches_fused_forward(self, rng):
+        from nerfail_tpu.attacks.forward import (
+            gauss_get_img, gauss_get_r, splat_attack_forward,
+        )
+        from nerfail_tpu.pointset.weights import gauss_weights
+
+        M, H, W = 32, 4, 4
+        pts = rng.uniform(-100, 100, (M, 4)).astype(np.float32)
+        pts[:, 3] = 255.0
+        dist = np.abs(rng.standard_normal((1, H, W, 8))).astype(np.float32) * 0.01
+        idx = rng.integers(0, M, (1, H, W, 8)).astype(np.int32)
+        ori = np.full((1, H, W, 4), 128.0, np.float32)
+        ori[..., 3] = 255.0
+        Wc = rng.standard_normal((H * W * 3, 4)).astype(np.float32) * 0.01
+        logits_fn = lambda x: x.reshape(x.shape[0], -1) @ jnp.asarray(Wc)
+
+        r = gauss_get_r(jnp.asarray(pts), jnp.asarray(dist), jnp.asarray(idx))
+        out_split = gauss_get_img(
+            r, jnp.asarray(ori), logits_fn, eps=32.0, resize_to=None
+        )
+        w = gauss_weights(jnp.asarray(dist))
+        out_fused = splat_attack_forward(
+            jnp.asarray(pts), w, jnp.asarray(idx), jnp.asarray(ori),
+            logits_fn, eps=32.0, resize_to=None,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_split["attacked_rgba"]),
+            np.asarray(out_fused["attacked_rgba"]), rtol=1e-5, atol=1e-4,
+        )
+
+
+class TestShardedAttackStep:
+    def test_mesh_step_matches_single(self, rng):
+        from nerfail_tpu.attacks.nerfail_s import make_nerfail_s_step
+        from nerfail_tpu.parallel.mesh import make_mesh
+        from nerfail_tpu.parallel.shard import replicate, shard_batch
+
+        M, H, W, B = 64, 4, 4, 8
+        P = 2
+        pts0 = np.zeros((P, H, W, 4), np.float32)
+        pts0[..., 3] = 255.0
+        weights = rng.uniform(0, 1, (B, H, W, 8)).astype(np.float32)
+        idx = rng.integers(0, P * H * W, (B, H, W, 8)).astype(np.int32)
+        ori = np.full((B, H, W, 4), 128.0, np.float32)
+        ori[..., 3] = 255.0
+        labels = np.zeros(B, np.int64)
+        Wc = rng.standard_normal((H * W * 3, 4)).astype(np.float32) * 0.01
+        logits_fn = lambda x: x.reshape(x.shape[0], -1) @ jnp.asarray(Wc)
+        cfg = AttackConfig(eps=16.0, a=2.0)
+
+        step1 = make_nerfail_s_step(logits_fn, cfg, None)
+        d1, m1 = step1(
+            jnp.asarray(pts0), jnp.asarray(pts0), jnp.asarray(weights),
+            jnp.asarray(idx), jnp.asarray(ori), jnp.asarray(labels),
+        )
+
+        mesh = make_mesh(model_parallel=1)   # 8-way data parallel
+        step2 = make_nerfail_s_step(logits_fn, cfg, None, mesh=mesh)
+        batch = shard_batch(mesh, {
+            "w": jnp.asarray(weights), "i": jnp.asarray(idx),
+            "o": jnp.asarray(ori), "l": jnp.asarray(labels),
+        })
+        with mesh:
+            d2, m2 = step2(
+                replicate(mesh, jnp.asarray(pts0)),
+                replicate(mesh, jnp.asarray(pts0)),
+                batch["w"], batch["i"], batch["o"], batch["l"],
+            )
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
