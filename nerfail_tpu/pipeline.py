@@ -314,6 +314,45 @@ class Pipeline:
         rgba = np.concatenate([rgb, ori_images[..., 3:4]], axis=-1)
         return rgba, None
 
+    # ---------------- stage 3b: defense fine-tune ----------------
+    def stage_defense_finetune(
+        self, model, params, extra, clean_images, clean_labels,
+        attacked_images, attacked_labels, epochs: int = 20,
+        batch_size: int = 16, lr: float = 1e-4,
+    ):
+        """Adversarial fine-tune: continue classifier training on a clean +
+        attacked mixture. The reference only *names* the defense steps
+        (model_test.py:77-79) — evaluating a defended model on the same
+        artifacts; this stage produces such a model.
+        """
+        import optax
+
+        from nerfail_tpu.train.classifier_trainer import (
+            ClassifierState, make_classifier_train_step,
+        )
+        import jax
+        import jax.numpy as jnp
+
+        X = np.concatenate([clean_images, attacked_images])
+        y = np.concatenate([clean_labels, attacked_labels])
+        optimizer = optax.sgd(lr, momentum=0.9)
+        opt_state = optimizer.init(params)
+        step_fn = make_classifier_train_step(model, optimizer)
+        key = jax.random.PRNGKey(0)
+        n = X.shape[0]
+        rng = np.random.default_rng(0)
+        Xd, yd = jnp.asarray(X), jnp.asarray(y)
+        step = 0
+        for epoch in range(epochs):
+            perm = rng.permutation(n)[: n // batch_size * batch_size]
+            for b in perm.reshape(-1, batch_size):
+                params, extra, opt_state, _ = step_fn(
+                    params, extra, opt_state, Xd[jnp.asarray(b)],
+                    yd[jnp.asarray(b)], jax.random.fold_in(key, step),
+                )
+                step += 1
+        return params, extra
+
     # ---------------- stage 4: eval ----------------
     def stage_eval(self, logits_fn, attacked_rgba, ori_images, scene_name,
                    report_path: Optional[str] = None, resize_to=None):
