@@ -95,6 +95,59 @@ def cmd_extract_coords(args):
     print(f"saved {coords.shape[0]} coord maps to {save_dir}")
 
 
+def cmd_render_only(args):
+    """nerf_render_only.py parity: render train/test/val splits (and the
+    spiral video) from the latest checkpoint into per-split dirs."""
+    import jax
+
+    from nerfail_tpu.render_path import render_path
+    from nerfail_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from nerfail_tpu.train.nerf_trainer import create_train_state
+
+    cfg = _build_cfg(args)
+    scene = _load_scene(cfg)
+    layout = ArtifactLayout(args.output)
+    state = create_train_state(
+        jax.random.PRNGKey(0), cfg.model, cfg.render, cfg.train
+    )
+    ckpt = latest_checkpoint(layout.nerf_logdir(cfg.scene.expname))
+    if not ckpt:
+        sys.exit("no NeRF checkpoint found — run train-nerf first")
+    restored = load_checkpoint(
+        ckpt, {"params": state.params, "opt_state": state.opt_state, "step": 0}
+    )
+    step = int(restored["step"])
+    splits = {"train": scene.i_train, "val": scene.i_val, "test": scene.i_test}
+    for split, ids in splits.items():
+        out_dir = os.path.join(
+            layout.root, "renders", cfg.scene.expname,
+            f"renderonly_{split}_{step - 1:06d}",
+        )
+        render_path(
+            restored["params"], cfg, scene.poses[ids], scene.H, scene.W,
+            scene.K, save_dir=out_dir, render_factor=args.render_factor,
+            save_coords=not args.only_render_img,
+        )
+        print(f"{split}: {len(ids)} renders -> {out_dir}")
+    if args.video:
+        video = os.path.join(
+            layout.root, "renders", cfg.scene.expname, "spiral.mp4"
+        )
+        render_path(
+            restored["params"], cfg, scene.render_poses, scene.H, scene.W,
+            scene.K, render_factor=max(args.render_factor, 2),
+            video_path=video,
+        )
+        print(f"video -> {video}")
+
+
+def cmd_invert_disturbance(args):
+    from nerfail_tpu.utils.disturbance import invert_disturbance_file
+
+    invert_disturbance_file(args.input, args.out)
+    print(f"wrote {args.out}")
+
+
 def cmd_train_classifier(args):
     from nerfail_tpu.data.datasets import load_classifier_split
     from nerfail_tpu.models.classifiers import (
@@ -217,6 +270,17 @@ def main(argv=None):
 
     sp = sub.add_parser("extract-coords", parents=[common])
     sp.set_defaults(fn=cmd_extract_coords)
+
+    sp = sub.add_parser("render-only", parents=[common])
+    sp.add_argument("--render_factor", type=int, default=0)
+    sp.add_argument("--only_render_img", action="store_true")
+    sp.add_argument("--video", action="store_true")
+    sp.set_defaults(fn=cmd_render_only)
+
+    sp = sub.add_parser("invert-disturbance")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_invert_disturbance)
 
     sp = sub.add_parser("train-classifier", parents=[common])
     sp.add_argument("--model_name", required=True)
