@@ -65,7 +65,9 @@ class RenderConfig:
     # memory-tiling chunk sizes (reference run_nerf.py:449-451); on TPU these
     # define the static ray-tile shape fed to the fused renderer.
     chunk: int = 32768
-    use_pallas: bool = False   # fused Pallas MLP+encoding kernel for the hot path
+    # fused Pallas MLP+encoding kernel for the hot path; None = auto
+    # (on when the active JAX backend is TPU, off elsewhere)
+    use_pallas: Optional[bool] = None
 
 
 @dataclass(frozen=True)

@@ -151,9 +151,10 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
     d_hv = jnp.where(hv > 0, d_hv, 0.0)
     db_refs[depth + 1][:] += jnp.sum(d_hv, axis=0, keepdims=True)
     dw_refs[depth + 1][:] += _mm_tA(hv_in, d_hv)            # d views_w
-    d_hv_in = _mm_tB(d_hv, w_refs[depth + 1][:])            # [T, 288]
-    d_feature = d_hv_in[:, :256]
-    d_enc_d_ref[:] = d_hv_in[:, 256:]
+    d_hv_in = _mm_tB(d_hv, w_refs[depth + 1][:])            # [T, W+vd_pad]
+    W = trunk.shape[-1]
+    d_feature = d_hv_in[:, :W]
+    d_enc_d_ref[:] = d_hv_in[:, W:]
     db_refs[depth][:] += jnp.sum(d_feature, axis=0, keepdims=True)
     dw_refs[depth][:] += _mm_tA(trunk, d_feature)           # d feature_w
     d_trunk = _mm_tB(d_feature, w_refs[depth][:])

@@ -37,15 +37,21 @@ def query_network(
     mcfg: NeRFModelConfig,
     pts: jnp.ndarray,
     viewdirs: Optional[jnp.ndarray],
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Evaluate the NeRF at [N, S, 3] points (+ per-ray [N, 3] viewdirs).
 
     Mirrors `run_network` (run_nerf.py:37-51): flatten → embed → MLP →
     reshape. With use_pallas=True the encode+MLP runs as one fused VMEM
     kernel (ops/pallas/mlp_kernel.py) so the 63/27-channel encodings never
-    touch HBM.
+    touch HBM. None = auto: fused kernel on TPU (1.5× faster there), plain
+    XLA elsewhere (CPU tests, interpret-free).
     """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and mcfg.use_viewdirs and viewdirs is not None
+        )
     n_rays, n_samples = pts.shape[:2]
     if use_pallas:
         from nerfail_tpu.ops.pallas.mlp_kernel import nerf_mlp_fused
