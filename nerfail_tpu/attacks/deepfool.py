@@ -3,9 +3,9 @@
 Re-designs the reference's modified DeepFool (deepfool.py:10-111) for XLA:
 the data-dependent iteration (early exit on label flip, ≤max_iter) becomes a
 `lax.while_loop`, and the per-class gradient pairs (2 sequential
-`autograd.grad` calls per candidate class, deepfool.py:76-96) become ONE
-`jax.jacrev` over the 8 logits — eight batched VJPs instead of 14 serialized
-graph walks per iteration.
+`autograd.grad` calls per candidate class, deepfool.py:76-96) become one
+forward + eight batched VJP pullbacks per iteration instead of 14
+serialized graph walks.
 
 Exact semantics preserved:
   margins:  untargeted → +m1 on the clean-prediction logit;
@@ -141,7 +141,15 @@ def deepfool(
 
 
 def _logits_and_jacobian(logits_fn, delta, num_classes):
-    """(logits [C], d logits / d delta [C, *delta.shape]) in one jacrev."""
-    logits = logits_fn(delta)
-    jac = jax.jacrev(logits_fn)(delta)
+    """(logits [C], d logits / d delta [C, *delta.shape]).
+
+    ONE forward via `jax.vjp` + C batched pullbacks — the reference runs 14
+    serialized `autograd.grad` graph walks per iteration (deepfool.py:76-96)
+    and a naive `logits_fn + jacrev` pair would recompute the forward
+    (splat + resize + classifier, the hottest path of the attack) twice.
+    """
+    logits, pullback = jax.vjp(logits_fn, delta)
+    jac = jax.vmap(lambda ct: pullback(ct)[0])(
+        jnp.eye(num_classes, dtype=logits.dtype)
+    )
     return logits, jac

@@ -48,6 +48,56 @@ def make_view_logits_fn(
     return view_logits
 
 
+def make_batched_deepfool(
+    logits_fn: Callable,
+    cfg: AttackConfig,
+    resize_to: Optional[int],
+    num_classes: int,
+    mesh=None,
+    accumulate_incomplete: bool = False,
+):
+    """vmapped DeepFool over a view batch with a shared (replicated) δ.
+
+    TPU-first scaling of the attack's hottest loop: the view axis is
+    sharded over the mesh "data" axis (each chip group walks DeepFool for
+    its views; lax.while_loop batches fine under vmap), δ stays replicated,
+    and the masked sum of per-view deltas is the psum the SURVEY §5
+    collectives spec calls for. Semantics: synchronous accumulation within
+    the batch (every view starts from the same δ), vs the reference's
+    strictly sequential per-view accumulation (attack_NeRFail.py:341-408).
+    """
+    view_logits = make_view_logits_fn(logits_fn, cfg, resize_to)
+
+    @jax.jit
+    def df_batch(delta, w, i, ori, ori_logits, active, m1, m2):
+        if mesh is not None:
+            from nerfail_tpu.parallel.shard import constrain_data
+
+            w = constrain_data(w, mesh)
+            i = constrain_data(i, mesh)
+            ori = constrain_data(ori, mesh)
+            ori_logits = constrain_data(ori_logits, mesh)
+            active = constrain_data(active, mesh)
+
+        def one(w_v, i_v, ori_v, ol_v):
+            fn = lambda d: view_logits(d, w_v, i_v, ori_v)
+            return deepfool(
+                fn, delta, ol_v, num_classes=num_classes,
+                max_iter=cfg.df_max_iter, m1=m1, m2=m2,
+                overshoot=cfg.overshoot,
+                targeted=cfg.targeted, target_label=cfg.target_label,
+            )
+
+        res = jax.vmap(one)(w, i, ori, ori_logits)
+        complete = res.iters < cfg.df_max_iter          # [V]
+        use = active if accumulate_incomplete else active & complete
+        mask = use.astype(delta.dtype)
+        rot_sum = jnp.einsum("v,v...->...", mask, res.rot)
+        return rot_sum, res.iters, use, complete
+
+    return df_batch
+
+
 def nerfail_attack(
     delta0: np.ndarray,          # [p, H, W, 4] zero-init mask stack
     weights: np.ndarray,         # [N, H, W, 8]
@@ -60,18 +110,32 @@ def nerfail_attack(
     epochs: Optional[int] = None,
     m2_max_limit: float = 1e6,
     accumulate_incomplete: bool = False,
+    mesh=None,
 ) -> AttackResult:
     n = ori_imgs.shape[0]
     epochs = epochs if epochs is not None else cfg.attack_epochs
     view_logits = make_view_logits_fn(logits_fn, cfg, resize_to)
+    num_classes = None
+
+    view_batch = max(cfg.view_batch, 1)
+    if mesh is not None:
+        # round up to a multiple of the data axis so every batch shards
+        dsize = int(mesh.shape.get("data", 1))
+        view_batch = ((max(view_batch, dsize) + dsize - 1) // dsize) * dsize
 
     @jax.jit
-    def eval_view(delta, w, i, ori):
+    def eval_views(delta, w, i, ori):
+        if mesh is not None:
+            from nerfail_tpu.parallel.shard import constrain_data
+
+            w = constrain_data(w, mesh)
+            i = constrain_data(i, mesh)
+            ori = constrain_data(ori, mesh)
         out = splat_attack_forward(
-            delta.reshape(-1, 4), w[None], i[None], ori[None],
+            delta.reshape(-1, 4), w, i, ori,
             logits_fn, eps=cfg.eps, resize_to=resize_to,
         )
-        return out["logits"][0], out["ori_logits"][0]
+        return out["logits"], out["ori_logits"]
 
     def run_deepfool(delta, w, i, ori, ori_logits, m1, m2):
         fn = lambda d: view_logits(d, w, i, ori)
@@ -86,43 +150,98 @@ def nerfail_attack(
     delta = jnp.asarray(delta0)
     result = AttackResult(delta=np.asarray(delta0))
     best_m1 = None
+    df_batch = None       # built lazily once num_classes is known
 
     # ---- reference control-plane state (attack_NeRFail.py:45-46,410-472) --
     m1_lo, m1_hi = 0.0, cfg.m1
-    m1, m2 = cfg.m1, cfg.m2
-    no_attack_after_m2 = attacks_after_m2 = 0
+    m1 = cfg.m1
     epoch = 0
+    epochs_run = 0
     while epoch < epochs:
         t0 = time.time()
-        tensor_changed = False
+        # m2 and its escalation counters reset every epoch
+        # (attack_NeRFail.py:329-332)
+        m2 = cfg.m2
+        no_attack_after_m2 = attacks_after_m2 = 0
+        final_epoch = epoch == epochs - 1
+        if final_epoch:
+            # the reference's final epoch evaluates (and saves) the BEST
+            # tensor over the full set, skipping deepfool
+            # (attack_NeRFail.py:338-348,420-432)
+            delta = jnp.asarray(result.delta)
+        # the final-epoch body clears tensor_not_changed
+        # (attack_NeRFail.py:432)
+        tensor_changed = final_epoch
         attacked_correct = clean_correct = still_same = 0
         df_calls = df_iters_total = 0
-        for v in range(n):
-            w = jnp.asarray(weights[v])
-            i = jnp.asarray(idx[v])
-            ori = jnp.asarray(ori_imgs[v])
-            logits, ori_logits = eval_view(delta, w, i, ori)
-            pred = int(jnp.argmax(logits))
-            ori_pred = int(jnp.argmax(ori_logits))
-            attacked_correct += int(pred == ori_pred)
-            if pred != ori_pred:
+        for s in range(0, n, view_batch):
+            ids = np.arange(s, min(s + view_batch, n))
+            valid = np.ones(len(ids), bool)
+            if len(ids) < view_batch:       # pad ragged tail, mask it out
+                pad = view_batch - len(ids)
+                ids = np.concatenate([ids, np.full(pad, ids[-1])])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            w = jnp.asarray(weights[ids])
+            i = jnp.asarray(idx[ids])
+            ori = jnp.asarray(ori_imgs[ids])
+            logits, ori_logits = eval_views(delta, w, i, ori)
+            preds = np.argmax(np.asarray(logits), axis=-1)
+            ori_preds = np.argmax(np.asarray(ori_logits), axis=-1)
+            same = (preds == ori_preds) & valid
+            attacked_correct += int(same.sum())
+            if final_epoch or not same.any():
                 continue
-            still_same += 1
-            res = run_deepfool(delta, w, i, ori, ori_logits, m1, m2)
-            iters = int(res.iters)
-            df_calls += 1
-            df_iters_total += iters
-            if iters < cfg.df_max_iter or accumulate_incomplete:
-                delta = delta + res.rot
-                tensor_changed = True
-                attacks_after_m2 += 1
-            elif m2 < m2_max_limit:
-                no_attack_after_m2 += 1
-                attacks_after_m2 += 1
-                if (attacks_after_m2 > 10
-                        and no_attack_after_m2 / attacks_after_m2 > 0.5):
-                    m2 *= 10.0
-                    no_attack_after_m2 = attacks_after_m2 = 0
+            still_same += int(same.sum())
+            if num_classes is None:
+                num_classes = int(logits.shape[-1])
+
+            if view_batch == 1:
+                # reference-faithful sequential accumulation
+                res = run_deepfool(
+                    delta, w[0], i[0], ori[0], ori_logits[0], m1, m2
+                )
+                iters = int(res.iters)
+                df_calls += 1
+                df_iters_total += iters
+                if iters < cfg.df_max_iter or accumulate_incomplete:
+                    delta = delta + res.rot
+                    tensor_changed = True
+                    attacks_after_m2 += 1
+                elif m2 < m2_max_limit:
+                    no_attack_after_m2 += 1
+                    attacks_after_m2 += 1
+                    if (attacks_after_m2 > 10
+                            and no_attack_after_m2 / attacks_after_m2 > 0.5):
+                        m2 *= 10.0
+                        no_attack_after_m2 = attacks_after_m2 = 0
+            else:
+                if df_batch is None:
+                    df_batch = make_batched_deepfool(
+                        logits_fn, cfg, resize_to, num_classes, mesh=mesh,
+                        accumulate_incomplete=accumulate_incomplete,
+                    )
+                rot_sum, iters_v, used, complete = df_batch(
+                    delta, w, i, ori, ori_logits, jnp.asarray(same), m1, m2
+                )
+                iters_v = np.asarray(iters_v)
+                used = np.asarray(used)
+                complete = np.asarray(complete)
+                df_calls += int(same.sum())
+                df_iters_total += int(iters_v[same].sum())
+                n_used = int(used.sum())
+                if n_used:
+                    delta = delta + rot_sum
+                    tensor_changed = True
+                    attacks_after_m2 += n_used
+                failed = same & ~complete & ~used
+                nf = int(failed.sum())
+                if nf and m2 < m2_max_limit:
+                    no_attack_after_m2 += nf
+                    attacks_after_m2 += nf
+                    if (attacks_after_m2 > 10
+                            and no_attack_after_m2 / attacks_after_m2 > 0.5):
+                        m2 *= 10.0
+                        no_attack_after_m2 = attacks_after_m2 = 0
 
         attack_acc = attacked_correct / n
         entry = {
@@ -149,29 +268,35 @@ def nerfail_attack(
             if m1_lo < m1 - 1 and epoch == 0:
                 m1_hi = m1
                 m1 = int((m1 + m1_lo) / 2)
-                m2 = cfg.m2
                 epoch = 0
             elif m1_lo < m1 and epoch == 0:
                 m1_hi = m1
                 m1 = m1_lo
-                m2 = cfg.m2
                 epoch = 0
             else:
-                break
+                # bisection exhausted: force the final epoch (full-set eval
+                # of the best tensor) instead of exiting immediately
+                # (attack_NeRFail.py:455 `epoch = attack_epochs - 1`)
+                epoch = epochs - 1
         elif epoch == epochs - 1:
             if m1 < m1_hi - 1:
                 m1_lo = m1
                 m1 = int((m1 + m1_hi) / 2)
-                m2 = cfg.m2
                 epoch = 0
             elif m1 < m1_hi:
                 m1_lo = m1
                 m1 = m1_hi
-                m2 = cfg.m2
                 epoch = 0
             else:
                 epoch += 1
         else:
             epoch += 1
+
+        # safety net absent from the reference: when the tensor never
+        # changes, the integer bisection can ping-pong between m1_lo and
+        # m1_lo+1 forever — cap the total epochs actually executed.
+        epochs_run += 1
+        if epochs_run >= max(10 * epochs, epochs + 20):
+            break
 
     return result

@@ -45,7 +45,7 @@ def make_nerfail_s_step(
     """
 
     @jax.jit
-    def step(delta, delta0, weights, idx, ori_img, labels):
+    def step(delta, delta0, weights, idx, ori_img, labels, valid):
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
 
@@ -53,15 +53,26 @@ def make_nerfail_s_step(
             idx = constrain_data(idx, mesh)
             ori_img = constrain_data(ori_img, mesh)
             labels = constrain_data(labels, mesh)
+            valid = constrain_data(valid, mesh)
+
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+
         def loss_fn(d):
             out = splat_attack_forward(
                 d.reshape(-1, 4), weights, idx, ori_img, logits_fn,
                 eps=cfg.eps, resize_to=resize_to,
             )
+            # ragged tails are padded to the static batch shape and masked
+            # out of the loss; matches the reference DataLoader's partial
+            # final batch (attack_NeRFail_S.py:341-372) without a retrace.
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 out["logits"], labels
-            ).mean()
-            mse = jnp.mean((out["attacked_rgba"] - ori_img) ** 2)
+            )
+            ce = jnp.sum(ce * valid) / n_valid
+            per_mse = jnp.mean(
+                (out["attacked_rgba"] - ori_img) ** 2, axis=(1, 2, 3)
+            )
+            mse = jnp.sum(per_mse * valid) / n_valid
             loss = (1.0 - cfg.beta) * ce + cfg.beta * mse
             return loss, out
 
@@ -82,8 +93,8 @@ def make_nerfail_s_step(
         ori_preds = jnp.argmax(out["ori_logits"], axis=-1)
         metrics = {
             "loss": loss,
-            "attacked_correct": jnp.sum(preds == labels),
-            "clean_correct": jnp.sum(ori_preds == labels),
+            "attacked_correct": jnp.sum((preds == labels) * valid),
+            "clean_correct": jnp.sum((ori_preds == labels) * valid),
             "eps_min": out["eps_min"],
             "eps_max": out["eps_max"],
         }
@@ -125,12 +136,20 @@ def nerfail_s_attack(
     for epoch in range(epochs):
         attacked_correct = clean_correct = 0
         t0 = time.time()
-        for s in range(0, n - (n % bs) or n, bs):
-            batch = slice(s, min(s + bs, n))
+        for s in range(0, n, bs):
+            # pad the ragged tail to the static batch shape (valid-masked
+            # inside the step) so every view is attacked without a retrace
+            ids = np.arange(s, min(s + bs, n))
+            valid = np.ones(len(ids), np.float32)
+            if len(ids) < bs:
+                pad = bs - len(ids)
+                ids = np.concatenate([ids, np.full(pad, ids[-1])])
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
             delta, m = step_fn(
                 delta, delta0_d,
-                jnp.asarray(weights[batch]), jnp.asarray(idx[batch]),
-                jnp.asarray(ori_imgs[batch]), jnp.asarray(labels[batch]),
+                jnp.asarray(weights[ids]), jnp.asarray(idx[ids]),
+                jnp.asarray(ori_imgs[ids]), jnp.asarray(labels[ids]),
+                jnp.asarray(valid),
             )
             attacked_correct += int(m["attacked_correct"])
             clean_correct += int(m["clean_correct"])
@@ -144,7 +163,9 @@ def nerfail_s_attack(
         result.history.append(entry)
         if log_fn:
             log_fn(epoch, entry)
-        if attack_acc < result.best_attack_acc:
+        # ties update too — the latest tensor wins on equal acc
+        # (attack_NeRFail_S.py:428-431 `<=`)
+        if attack_acc <= result.best_attack_acc:
             result.best_attack_acc = attack_acc
             result.delta = np.asarray(delta)
     return result

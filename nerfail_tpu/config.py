@@ -133,6 +133,12 @@ class AttackConfig:
     targeted: bool = False
     target_label: int = 0
     base_mask_number: int = 3     # p: number of base mask views
+    # NeRFail (DeepFool) only: how many views run DeepFool concurrently per
+    # accumulation step. 1 = the reference's sequential semantics
+    # (attack_NeRFail.py:341); >1 = synchronous batch, sharded over the
+    # mesh "data" axis when a mesh is given (TPU-first scaling — the
+    # reference has no distributed machinery, SURVEY.md §2.6).
+    view_batch: int = 1
 
 
 # Mask-view index tables, hard-coded per scene/p in every reference attack

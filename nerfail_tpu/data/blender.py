@@ -52,9 +52,14 @@ class BlenderScene:
     i_split: List[np.ndarray] = field(default_factory=list)  # train/val/test
     # original (non-attacked) train images when train_dir swapped them in
     images_ori: Optional[np.ndarray] = None
+    # explicit intrinsics (LINEMOD frames carry their own K,
+    # load_LINEMOD.py:37-95); None → derived from focal
+    K_explicit: Optional[np.ndarray] = None
 
     @property
     def K(self) -> np.ndarray:
+        if self.K_explicit is not None:
+            return self.K_explicit
         return np.array(
             [
                 [self.focal, 0, 0.5 * self.W],
@@ -150,5 +155,8 @@ def load_blender_data(
 
 
 def white_background_composite(images: np.ndarray) -> np.ndarray:
-    """RGBA [.., 4] in [0,1] → RGB on white: rgb·a + (1-a) (run_nerf.py:578)."""
+    """RGBA [.., 4] in [0,1] → RGB on white: rgb·a + (1-a) (run_nerf.py:578).
+    RGB inputs (LLFF/DeepVoxels, no alpha) pass through unchanged."""
+    if images.shape[-1] == 3:
+        return images
     return images[..., :3] * images[..., 3:4] + (1.0 - images[..., 3:4])

@@ -27,7 +27,9 @@ import numpy as np
 
 from nerfail_tpu.config import SCENE_CLASSES
 
-_IDX_RE = re.compile(r"r_(\d+)\.png$")
+# both the attack outputs (r_<i>.png) and the NeRF renders (NNN.png) —
+# the reference parses both forms (MyDataset.py:82-86)
+_IDX_RE = re.compile(r"^(?:r_)?(\d+)\.(?:png|jpg|jpeg)$")
 
 
 def _imread(path: str) -> np.ndarray:

@@ -106,6 +106,88 @@ def make_box_scene(
     )
 
 
+def make_forward_scene(
+    n_train: int = 12,
+    n_val: int = 2,
+    n_test: int = 4,
+    H: int = 64,
+    W: int = 64,
+    radius: float = 4.0,
+    seed: int = 0,
+) -> BlenderScene:
+    """Forward-facing variant of the box scene: every camera sits in a
+    small angular cone looking at the box — the geometry class the LLFF
+    NDC path (ndc_rays, run_nerf_helpers.py:179-196) targets. Returns RGB
+    images (white-composited; real forward-facing photos have no alpha).
+    """
+    rng = np.random.default_rng(seed)
+    camera_angle_x = 0.6911112070083618
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+    K = np.array(
+        [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
+    )
+
+    n_total = n_train + n_val + n_test
+    thetas = rng.uniform(-12, 12, n_total)
+    phis = rng.uniform(-14, -2, n_total)
+    poses = np.stack(
+        [pose_spherical(t, p, radius) for t, p in zip(thetas, phis)]
+    ).astype(np.float32)
+
+    images = np.zeros((n_total, H, W, 3), np.float32)
+    for i in range(n_total):
+        o, d = get_rays_np(H, W, K, poses[i])
+        rgba = _shade(o.reshape(-1, 3), d.reshape(-1, 3)).reshape(H, W, 4)
+        a = rgba[..., 3:4]
+        images[i] = rgba[..., :3] * a + (1.0 - a)
+
+    i_split = [
+        np.arange(0, n_train),
+        np.arange(n_train, n_train + n_val),
+        np.arange(n_train + n_val, n_total),
+    ]
+    return BlenderScene(
+        images=images,
+        poses=poses,
+        render_poses=poses[: min(8, n_total)].copy(),
+        H=H,
+        W=W,
+        focal=float(focal),
+        i_split=i_split,
+    )
+
+
+def write_llff_format(
+    scene: BlenderScene, basedir: str,
+    near: float = 3.0, far: float = 5.5,
+) -> None:
+    """Persist a forward-facing scene as images/ + poses_bounds.npy so
+    `load_llff_data` (the poses_bounds grammar of load_llff.py:243-268)
+    round-trips on it. Poses are stored in LLFF's [down right back]
+    column convention with the hwf column appended."""
+    import imageio.v2 as imageio
+
+    imgdir = os.path.join(basedir, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    n = scene.images.shape[0]
+    rows = np.zeros((n, 17), np.float64)
+    for i in range(n):
+        img8 = (np.clip(scene.images[i][..., :3], 0, 1) * 255).astype(
+            np.uint8
+        )
+        imageio.imwrite(os.path.join(imgdir, f"{i:03d}.png"), img8)
+        c2w = scene.poses[i]
+        # [right up back] → stored [down right back]
+        stored = np.stack(
+            [-c2w[:3, 1], c2w[:3, 0], c2w[:3, 2], c2w[:3, 3],
+             np.array([scene.H, scene.W, scene.focal], np.float64)],
+            axis=1,
+        )
+        rows[i, :15] = stored.reshape(-1)
+        rows[i, 15:] = [near, far]
+    np.save(os.path.join(basedir, "poses_bounds.npy"), rows)
+
+
 def write_blender_format(scene: BlenderScene, basedir: str) -> None:
     """Persist a scene in the transforms_{split}.json + PNG on-disk layout
     so `load_blender_data` round-trips on it."""

@@ -49,8 +49,37 @@ def host_local_to_global(
     )
 
 
+def replicate_global(mesh: Mesh, tree):
+    """Replicate host-local data onto every device of a (possibly
+    multi-process) mesh.
+
+    The NeRF train step gathers pixels from the full image stack inside
+    jit, so the image/pose feed must be replicated — single-process via
+    device_put, multi-process via `make_array_from_process_local_data`
+    (every process holds the full copy locally, no host-0 gather).
+    """
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def process_view_slice(n_views: int) -> slice:
     """Which views this process should load (contiguous split)."""
     pc, pi = jax.process_count(), jax.process_index()
-    per = (n_views + pc - 1) // pc
-    return slice(pi * per, min((pi + 1) * per, n_views))
+    return view_slice_for(n_views, pc, pi)
+
+
+def view_slice_for(n_views: int, process_count: int, process_index: int
+                   ) -> slice:
+    """Pure slicing math behind `process_view_slice` (unit-testable without
+    a real multi-process runtime)."""
+    per = (n_views + process_count - 1) // process_count
+    return slice(
+        process_index * per, min((process_index + 1) * per, n_views)
+    )

@@ -153,11 +153,15 @@ class Pipeline:
     layout: ArtifactLayout
     cfg: ExperimentConfig
     pcfg: PointSetConfig = field(default_factory=PointSetConfig)
+    # jax.sharding.Mesh; when set, the train and attack stages run their
+    # jitted steps sharded over it (DP rays/views × TP MLP width)
+    mesh: Optional[object] = None
 
     # ---------------- stage 1: NeRF ----------------
     def stage_train_nerf(self, scene_data, scene_name: str, n_iters=None,
                          inherit_tag: Optional[str] = None,
-                         train_images: Optional[np.ndarray] = None):
+                         train_images: Optional[np.ndarray] = None,
+                         ft_path: Optional[str] = None):
         """Train (or resume) the scene NeRF; returns final state."""
         from nerfail_tpu.data.blender import white_background_composite
         from nerfail_tpu.train.nerf_trainer import train_nerf
@@ -171,6 +175,7 @@ class Pipeline:
         return train_nerf(
             self.cfg, targets, scene_data.poses, scene_data.K,
             scene_data.i_train, logdir=logdir, n_iters=n_iters,
+            ft_path=ft_path, mesh=self.mesh,
         )
 
     # ---------------- stage 2: point set ----------------
@@ -189,7 +194,7 @@ class Pipeline:
             extract_coord_maps,
         )
 
-        p = p or self.pcfg.k and len(mask_views(scene_name, 3)) and 3
+        p = p or 3
         mask_ids = np.asarray(mask_views(scene_name, p))
         # mask views index into the TEST split by convention
         test_ids = splits["test"]
@@ -256,11 +261,12 @@ class Pipeline:
                 result = nerfail_s_attack(
                     delta0, weights, idx, ori_images, labels, logits_fn,
                     acfg, resize_to=resize_to, epochs=epochs,
+                    mesh=self.mesh,
                 )
             else:
                 result = nerfail_attack(
                     delta0, weights, idx, ori_images, logits_fn, acfg,
-                    resize_to=resize_to, epochs=epochs,
+                    resize_to=resize_to, epochs=epochs, mesh=self.mesh,
                 )
         elif method == "IGSM_2D":
             result = igsm_2d_attack(
@@ -287,11 +293,19 @@ class Pipeline:
                 out_dir, attacked, masks=masks, originals=ori_images,
                 indices=indices,
             )
+            # persist the raw perturbation tensor: `universal.npy` mirrors
+            # the reference's universal.pth (attack_UAP_2D.py:363); the 3D
+            # methods get their final point-set delta saved analogously.
+            method_dir = os.path.dirname(out_dir)
+            name = "universal.npy" if method == "Universal_2D" else "delta.npy"
+            np.save(os.path.join(method_dir, name), result.delta)
         return result
 
     def render_attacked(self, method, delta, ori_images, tables, acfg,
-                        resize_to, logits_fn):
-        """Apply a final perturbation to views → (attacked_rgba, masks)."""
+                        resize_to, logits_fn, batch_size: int = 16):
+        """Apply a final perturbation to views → (attacked_rgba, masks).
+        Processed in view batches so full-resolution splits (100×800²×8
+        neighbor tables) stay within HBM."""
         import jax.numpy as jnp
 
         from nerfail_tpu.attacks.forward import (
@@ -300,17 +314,29 @@ class Pipeline:
 
         if method in ("NeRFail", "NeRFail_S"):
             weights, idx = tables
-            out = splat_attack_forward(
-                jnp.asarray(delta.reshape(-1, 4)), jnp.asarray(weights),
-                jnp.asarray(idx), jnp.asarray(ori_images), logits_fn,
-                eps=acfg.eps, resize_to=resize_to,
+            delta_d = jnp.asarray(delta.reshape(-1, 4))
+            att, masks = [], []
+            for s in range(0, ori_images.shape[0], batch_size):
+                b = slice(s, s + batch_size)
+                out = splat_attack_forward(
+                    delta_d, jnp.asarray(weights[b]), jnp.asarray(idx[b]),
+                    jnp.asarray(ori_images[b]), logits_fn,
+                    eps=acfg.eps, resize_to=resize_to,
+                )
+                att.append(np.asarray(out["attacked_rgba"]))
+                masks.append(np.asarray(out["splat"]))
+            return np.concatenate(att), np.concatenate(masks)
+        att = []
+        delta_d = jnp.asarray(delta)
+        for s in range(0, ori_images.shape[0], batch_size):
+            b = slice(s, s + batch_size)
+            d = delta_d[b] if delta_d.ndim == 4 else delta_d
+            out = universal_2d_forward(
+                d, jnp.asarray(ori_images[b]), logits_fn,
+                resize_to=resize_to,
             )
-            return np.asarray(out["attacked_rgba"]), np.asarray(out["splat"])
-        out = universal_2d_forward(
-            jnp.asarray(delta), jnp.asarray(ori_images), logits_fn,
-            resize_to=resize_to,
-        )
-        rgb = np.asarray(out["attacked_rgb"])
+            att.append(np.asarray(out["attacked_rgb"]))
+        rgb = np.concatenate(att)
         rgba = np.concatenate([rgb, ori_images[..., 3:4]], axis=-1)
         return rgba, None
 
@@ -353,7 +379,139 @@ class Pipeline:
                 step += 1
         return params, extra
 
+    # ---------------- stage 3c: perturbation inheritance ----------------
+    def stage_inherit(
+        self,
+        scene_data,
+        scene_name: str,
+        method: str,
+        acfg: AttackConfig,
+        model_name: str,
+        logits_fn,
+        resize_to: Optional[int],
+        delta: np.ndarray,
+        tables: Dict[str, Tuple[np.ndarray, np.ndarray]],
+        n_iters: Optional[int] = None,
+        eval_splits: Sequence[str] = ("test",),
+        render_factor: int = 0,
+    ):
+        """Close the attack→NeRF inheritance loop (SURVEY §3.5 round-trip).
+
+        One call chains what the reference runs by hand across four scripts
+        (run_nerf.py --train_dir → nerf_render_only.py → transfer_files.py →
+        model_test.py --step 1):
+          1. apply the final perturbation to the TRAIN views and persist
+             them in the step-0 artifact dir,
+          2. retrain the scene NeRF on the attacked train set,
+          3. render train/test/val from the retrained checkpoint straight
+             into the step-1 ("nerf") artifact dir,
+          4. evaluate the step-1 renders against the clean views.
+
+        Returns (retrained_state, {split: eval report}).
+        """
+        from nerfail_tpu.data.blender import white_background_composite
+        from nerfail_tpu.data.datasets import (
+            rgba_to_white_rgb, scene_views_dataset,
+        )
+        from nerfail_tpu.render_path import render_path
+
+        # 1. attacked train views → step-0 train dir
+        ori_train = scene_views_dataset(
+            scene_data.images[scene_data.i_train]
+        )
+        attacked_train, _ = self.render_attacked(
+            method, delta, ori_train, tables.get("train"), acfg,
+            resize_to, logits_fn,
+        )
+        train_dir = self.layout.attack_dir(
+            model_name, scene_name, method, acfg, step=0, split="train"
+        )
+        save_attacked_images(train_dir, attacked_train, originals=ori_train)
+
+        # 2. retrain on the attacked set (run_nerf.py --train_dir)
+        inherit_tag = (
+            f"{model_name}_{self.layout.attack_method_dirname(method, acfg)}"
+        )
+        targets01 = rgba_to_white_rgb(attacked_train) / 255.0
+        state = self.stage_train_nerf(
+            scene_data, scene_name, n_iters=n_iters,
+            inherit_tag=inherit_tag, train_images=targets01,
+        )
+
+        # 3+4. render all splits into the step-1 dir; evaluate
+        splits = {
+            "train": scene_data.i_train,
+            "val": scene_data.i_val,
+            "test": scene_data.i_test,
+        }
+        reports: Dict[str, Dict] = {}
+        for split, ids in splits.items():
+            out_dir = self.layout.attack_dir(
+                model_name, scene_name, method, acfg, step=1, split=split
+            )
+            rgbs, _ = render_path(
+                state.params, self.cfg, scene_data.poses[ids],
+                scene_data.H, scene_data.W, scene_data.K,
+                save_dir=out_dir, render_factor=render_factor,
+            )
+            if split in eval_splits:
+                rendered = np.clip(rgbs * 255.0, 0, 255).astype(np.float32)
+                clean = np.clip(
+                    white_background_composite(scene_data.images[ids])
+                    * 255.0, 0, 255,
+                ).astype(np.float32)
+                if render_factor > 0:
+                    clean = clean[
+                        :, ::render_factor, ::render_factor
+                    ]
+                reports[split] = self.stage_eval(
+                    logits_fn, rendered, clean, scene_name,
+                    report_path=self.layout.eval_report_path(
+                        self.layout.attack_dir(
+                            model_name, scene_name, method, acfg, step=1
+                        ),
+                        split,
+                    ),
+                    resize_to=resize_to,
+                )
+        return state, reports
+
     # ---------------- stage 4: eval ----------------
+    def stage_eval_full(
+        self,
+        logits_fn,
+        data_root: str,
+        split: str,
+        scene_name: str,
+        override_dir: Optional[str] = None,
+        ori_dir: Optional[str] = None,
+        resize_to: Optional[int] = None,
+        report_path: Optional[str] = None,
+        annotate_dir: Optional[str] = None,
+    ):
+        """Full 8-class test (model_test.py:41-421): per-class loss/acc,
+        ASR + misclass table + perturbation stats for the attacked class
+        (whose images come from `override_dir`), optional annotated dump."""
+        from nerfail_tpu.data.datasets import load_classifier_split
+        from nerfail_tpu.eval.harness import evaluate_testset
+
+        ds = load_classifier_split(
+            data_root, split, resize_to,
+            override_dir=override_dir, override_class=scene_name,
+            ori_dir=ori_dir,
+        )
+        report = evaluate_testset(
+            logits_fn, ds.images, ds.labels,
+            attacked_class=scene_class_index(scene_name),
+            original_images=ds.ori_images,
+            annotate_dir=annotate_dir, indices=ds.indices,
+        )
+        if report_path:
+            os.makedirs(os.path.dirname(report_path), exist_ok=True)
+            with open(report_path, "w") as f:
+                json.dump(report, f, indent=2)
+        return report
+
     def stage_eval(self, logits_fn, attacked_rgba, ori_images, scene_name,
                    report_path: Optional[str] = None, resize_to=None):
         import jax.numpy as jnp

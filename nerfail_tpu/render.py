@@ -190,7 +190,7 @@ def render_full_image(
     rays_d = rays_d.reshape(-1, 3)
     if rcfg.ndc:
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o, rays_d = ndc_rays(H, W, float(K[0, 0]), 1.0, rays_o, rays_d)
+        rays_o, rays_d = ndc_rays(H, W, K[0, 0], 1.0, rays_o, rays_d)
         near, far = 0.0, 1.0
     else:
         viewdirs = None

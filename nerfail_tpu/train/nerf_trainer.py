@@ -35,6 +35,7 @@ from nerfail_tpu.config import (
     TrainConfig,
 )
 from nerfail_tpu.models.nerf import Params, init_nerf_params
+from nerfail_tpu.ops.rays import ndc_rays
 from nerfail_tpu.render import render_full_image, render_rays
 from nerfail_tpu.train.checkpoint import (
     checkpoint_path,
@@ -165,16 +166,32 @@ def make_train_step(
             k_sample, images, poses, K, tcfg.N_rand,
             precrop, tcfg.precrop_frac, tcfg.no_batching,
         )
+        viewdirs = None
+        near = far = None
+        if rcfg.ndc:
+            # forward-facing LLFF: viewdirs from the raw rays, then NDC
+            # reparameterization with near/far = 0/1 (run_nerf.py:117-123)
+            viewdirs = rays_d / jnp.linalg.norm(
+                rays_d, axis=-1, keepdims=True
+            )
+            rays_o, rays_d = ndc_rays(
+                images.shape[1], images.shape[2], K[0, 0], 1.0,
+                rays_o, rays_d,
+            )
+            near, far = 0.0, 1.0
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
 
             rays_o = constrain_data(rays_o, mesh)
             rays_d = constrain_data(rays_d, mesh)
             target = constrain_data(target, mesh)
+            if viewdirs is not None:
+                viewdirs = constrain_data(viewdirs, mesh)
 
         def loss_fn(p):
             out = render_rays(
                 p["coarse"], p["fine"], mcfg, rcfg, rays_o, rays_d,
+                viewdirs=viewdirs, near=near, far=far,
                 key=k_render, train=True,
             )
             loss_fine = img2mse(out["rgb_map"], target)
@@ -205,11 +222,21 @@ def train_nerf(
     log_fn: Callable[[int, Dict[str, float]], None] = None,
     test_render: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     spiral_poses: Optional[np.ndarray] = None,
+    ft_path: Optional[str] = None,
+    mesh=None,
 ) -> NeRFTrainState:
     """Host driver: auto-resume, jitted steps, periodic checkpoint/render.
 
     Mirrors the reference train() orchestration (run_nerf.py:537-888) minus
-    dataset loading (the caller passes arrays).
+    dataset loading (the caller passes arrays). `ft_path` overrides the
+    latest-checkpoint scan like the reference's --ft_path
+    (run_nerf.py:216-223).
+
+    With a `mesh` the params are laid out tensor-parallel over the "model"
+    axis, the per-step ray batch is sharded over "data", and the image feed
+    is replicated onto every chip (images are read inside the jitted step by
+    gather — SURVEY.md §5 collectives spec); XLA inserts the grad psum.
+    In multi-process runs each host feeds its process-local copy.
     """
     mcfg, rcfg, tcfg = cfg.model, cfg.render, cfg.train
     n_iters = n_iters or tcfg.N_iters
@@ -217,8 +244,8 @@ def train_nerf(
     key = jax.random.PRNGKey(seed)
     state = create_train_state(key, mcfg, rcfg, tcfg)
 
-    if logdir:
-        ckpt = latest_checkpoint(logdir)
+    if ft_path or logdir:
+        ckpt = ft_path or latest_checkpoint(logdir)
         if ckpt:
             restored = load_checkpoint(
                 ckpt,
@@ -235,10 +262,27 @@ def train_nerf(
     train_poses = jnp.asarray(poses[i_train])
     K_dev = jnp.asarray(K)
 
-    step_pre = make_train_step(mcfg, rcfg, tcfg, precrop=True)
-    step_main = make_train_step(mcfg, rcfg, tcfg, precrop=False)
-
     params, opt_state = state.params, state.opt_state
+    if mesh is not None:
+        from nerfail_tpu.parallel.multihost import replicate_global
+        from nerfail_tpu.parallel.shard import replicate, shard_nerf_params
+
+        params = {k: shard_nerf_params(mesh, p) for k, p in params.items()}
+        if state.step == 0:
+            # fresh start: moments inherit the param shardings via zeros_like
+            opt_state = make_optimizer(tcfg).init(params)
+        else:
+            # resumed moments start replicated; the first step's output
+            # shardings settle them onto the param layout
+            opt_state = replicate(mesh, opt_state)
+        # image/pose feed: replicated, multi-process-safe (SURVEY §7
+        # "multi-host input pipeline")
+        train_images, train_poses, K_dev = replicate_global(
+            mesh, (train_images, train_poses, K_dev)
+        )
+
+    step_pre = make_train_step(mcfg, rcfg, tcfg, precrop=True, mesh=mesh)
+    step_main = make_train_step(mcfg, rcfg, tcfg, precrop=False, mesh=mesh)
     t0 = time.time()
     for i in range(state.step, n_iters):
         step_key = jax.random.fold_in(key, i)

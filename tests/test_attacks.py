@@ -149,6 +149,44 @@ class TestEngines:
         np.testing.assert_array_equal(res.delta[..., 3], 255.0)
         assert len(res.history) == 5
 
+    def test_nerfail_s_ragged_tail_attacks_every_view(self, rng):
+        """n % batch_size != 0: the tail views must be attacked and counted
+        exactly once (reference DataLoader includes the partial batch,
+        attack_NeRFail_S.py:341-372)."""
+        n, bs = 3, 2
+        M = P * H * W
+        weights = rng.uniform(0, 1, (n, H, W, 8)).astype(np.float32)
+        weights /= weights.sum(-1, keepdims=True)
+        # view v gathers ONLY from its own third of the point set, so a
+        # nonzero delta there proves view v was attacked
+        per = M // n
+        idx = np.stack([
+            rng.integers(v * per, (v + 1) * per, (H, W, 8)).astype(np.int32)
+            for v in range(n)
+        ])
+        ori = np.full((n, H, W, 4), 128.0, np.float32)
+        ori[..., 3] = 255.0
+        # logits = [1e-4·sum(x), 0, 0, 0] → every clean view predicts class
+        # 0 with an unsaturated softmax (CE gradient stays nonzero)
+        def logits_fn(x):
+            s = 1e-4 * jnp.sum(x.reshape(x.shape[0], -1), axis=-1)
+            zeros = jnp.zeros_like(s)
+            return jnp.stack([s, zeros, zeros, zeros], axis=-1)
+
+        delta0 = np.zeros((P, H, W, 4), np.float32)
+        delta0[..., 3] = 255.0
+        cfg = AttackConfig(eps=16.0, a=4.0, batch_size=bs)
+        res = nerfail_s_attack(
+            delta0, weights, idx, ori, np.zeros(n, np.int64), logits_fn,
+            cfg, resize_to=None, epochs=1,
+        )
+        # every view was counted exactly once (pad not double-counted)
+        assert res.history[0]["clean_acc"] == 1.0
+        # the tail view's exclusive point-set region was perturbed
+        flat = res.delta.reshape(-1, 4)
+        tail_region = flat[2 * per:3 * per, :3]
+        assert np.abs(tail_region).max() > 0.0
+
     def test_igsm_2d_eps(self, rng):
         _, _, ori, logits_fn = make_toy(rng)
         cfg = AttackConfig(eps=8.0, a=2.0, batch_size=1)
@@ -157,6 +195,87 @@ class TestEngines:
         )
         assert np.abs(res.delta).max() <= 8.0 + 1e-5
         assert res.delta.shape == (1, H, W, 3)
+
+    def test_batched_deepfool_matches_individual(self, rng):
+        """The batched (view-sharded) DeepFool path must equal running
+        per-view DeepFool from the same shared δ and summing the rots."""
+        from nerfail_tpu.attacks.nerfail import (
+            make_batched_deepfool, make_view_logits_fn,
+        )
+
+        B = 3
+        M = P * H * W
+        weights = rng.uniform(0, 1, (B, H, W, 8)).astype(np.float32)
+        weights /= weights.sum(-1, keepdims=True)
+        idx = rng.integers(0, M, (B, H, W, 8)).astype(np.int32)
+        ori = np.full((B, H, W, 4), 128.0, np.float32)
+        ori[..., 3] = 255.0
+        Wc = rng.standard_normal((H * W * 3, C)).astype(np.float32) * 1e-3
+
+        def logits_fn(x):
+            return x.reshape(x.shape[0], -1) @ jnp.asarray(Wc)
+
+        cfg = AttackConfig(eps=32.0, m1=0.0, m2=0.2, df_max_iter=5)
+        delta = np.zeros((P, H, W, 4), np.float32)
+        delta[..., 3] = 255.0
+        delta = jnp.asarray(delta)
+
+        view_logits = make_view_logits_fn(logits_fn, cfg, None)
+        ori_logits = jnp.stack([
+            view_logits(delta, jnp.asarray(weights[v]), jnp.asarray(idx[v]),
+                        jnp.asarray(ori[v]))
+            for v in range(B)
+        ])
+
+        df_batch = make_batched_deepfool(
+            logits_fn, cfg, None, C, accumulate_incomplete=True,
+        )
+        rot_sum, iters, used, complete = df_batch(
+            delta, jnp.asarray(weights), jnp.asarray(idx), jnp.asarray(ori),
+            ori_logits, jnp.ones(B, bool), cfg.m1, cfg.m2,
+        )
+
+        expected = np.zeros_like(np.asarray(delta))
+        for v in range(B):
+            fn = lambda d: view_logits(
+                d, jnp.asarray(weights[v]), jnp.asarray(idx[v]),
+                jnp.asarray(ori[v]),
+            )
+            res = deepfool(
+                fn, delta, ori_logits[v], num_classes=C,
+                max_iter=cfg.df_max_iter, m1=cfg.m1, m2=cfg.m2,
+                overshoot=cfg.overshoot,
+            )
+            assert int(res.iters) == int(np.asarray(iters)[v])
+            expected += np.asarray(res.rot)
+        np.testing.assert_allclose(
+            np.asarray(rot_sum), expected, rtol=1e-4, atol=1e-4
+        )
+
+    def test_nerfail_view_batch_runs(self, rng):
+        """nerfail_attack with view_batch>1 (incl. ragged tail) completes
+        and respects the control plane."""
+        from nerfail_tpu.attacks.nerfail import nerfail_attack
+
+        n = 3
+        M = P * H * W
+        weights = rng.uniform(0, 1, (n, H, W, 8)).astype(np.float32)
+        weights /= weights.sum(-1, keepdims=True)
+        idx = rng.integers(0, M, (n, H, W, 8)).astype(np.int32)
+        ori = np.full((n, H, W, 4), 128.0, np.float32)
+        ori[..., 3] = 255.0
+        Wc = rng.standard_normal((H * W * 3, C)).astype(np.float32) * 1e-3
+        logits_fn = lambda x: x.reshape(x.shape[0], -1) @ jnp.asarray(Wc)
+
+        cfg = AttackConfig(eps=32.0, m1=0.0, m2=0.2, df_max_iter=10,
+                           view_batch=2)
+        delta0 = np.zeros((P, H, W, 4), np.float32)
+        delta0[..., 3] = 255.0
+        res = nerfail_attack(delta0, weights, idx, ori, logits_fn, cfg,
+                             resize_to=None, epochs=3)
+        assert len(res.history) >= 1
+        assert res.delta.shape == delta0.shape
+        np.testing.assert_array_equal(res.delta[..., 3], 255.0)
 
     def test_uap_2d_runs(self, rng):
         _, _, ori, logits_fn = make_toy(rng)

@@ -164,10 +164,12 @@ class TestShardedAttackStep:
         logits_fn = lambda x: x.reshape(x.shape[0], -1) @ jnp.asarray(Wc)
         cfg = AttackConfig(eps=16.0, a=2.0)
 
+        valid = np.ones(B, np.float32)
         step1 = make_nerfail_s_step(logits_fn, cfg, None)
         d1, m1 = step1(
             jnp.asarray(pts0), jnp.asarray(pts0), jnp.asarray(weights),
             jnp.asarray(idx), jnp.asarray(ori), jnp.asarray(labels),
+            jnp.asarray(valid),
         )
 
         mesh = make_mesh(model_parallel=1)   # 8-way data parallel
@@ -175,12 +177,13 @@ class TestShardedAttackStep:
         batch = shard_batch(mesh, {
             "w": jnp.asarray(weights), "i": jnp.asarray(idx),
             "o": jnp.asarray(ori), "l": jnp.asarray(labels),
+            "v": jnp.asarray(valid),
         })
         with mesh:
             d2, m2 = step2(
                 replicate(mesh, jnp.asarray(pts0)),
                 replicate(mesh, jnp.asarray(pts0)),
-                batch["w"], batch["i"], batch["o"], batch["l"],
+                batch["w"], batch["i"], batch["o"], batch["l"], batch["v"],
             )
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
         np.testing.assert_allclose(

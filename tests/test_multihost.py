@@ -31,6 +31,31 @@ def test_host_local_to_global_sharded():
     np.testing.assert_array_equal(np.asarray(arr), x)
 
 
+def test_view_slice_math_multi_process():
+    """The per-process split must cover every view exactly once for any
+    (n_views, process_count) — the mocked-multi-process exercise of the
+    slicing the real pod run composes with host_local_to_global."""
+    from nerfail_tpu.parallel.multihost import view_slice_for
+
+    for n_views in (1, 7, 100, 400):
+        for pc in (1, 2, 3, 4, 8):
+            seen = []
+            for pi in range(pc):
+                s = view_slice_for(n_views, pc, pi)
+                seen.extend(range(*s.indices(n_views)))
+            assert seen == list(range(n_views)), (n_views, pc)
+
+
+def test_replicate_global_matches_device_put():
+    from nerfail_tpu.parallel.multihost import replicate_global
+
+    mesh = make_mesh(model_parallel=1)
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    (out,) = jax.tree_util.tree_leaves(replicate_global(mesh, (x,)))
+    assert out.sharding.spec == jax.sharding.PartitionSpec()
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
 def test_defense_finetune_improves_robust_accuracy(rng):
     from nerfail_tpu.config import ExperimentConfig
     from nerfail_tpu.models.classifiers import get_classifier
