@@ -1,12 +1,19 @@
-"""Benchmark: full lego-config NeRF training throughput on one TPU chip.
+"""Benchmarks: the BASELINE.md north-star metrics on one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} whose
+primary metric is full-config NeRF training throughput; the other
+north-star numbers ride along in "extra":
+
+  train_iters_per_s   1024 rays, 64+128 samples, 8×256 MLP (primary)
+  rays_per_s_render   full 800² image render (640K rays) — the
+                      nerf_to_coord/render_path workload
+  attack_iters_per_s  one NeRFail-S step (splat→inception-v3→grad→sign)
+                      over an 8-view 800² batch
+  roofline            XLA cost analysis of the train step vs v5e peaks
 
 Baseline: the reference's only published speed number — nerf-pytorch at
-~7 train iters/s (1024 rays/iter, lego low-res, RTX 2080 Ti;
-BASELINE.md). We measure the FULL config (800² scene, 8×256 MLP,
-64 coarse + 128 fine samples, N_rand=1024) — a strictly harder workload
-than the baseline's low-res run.
+~7 train iters/s (1024 rays/iter, lego low-res, RTX 2080 Ti; BASELINE.md).
+We measure the FULL config (800² scene), a strictly harder workload.
 """
 
 from __future__ import annotations
@@ -17,18 +24,158 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _fence(x) -> None:
+    """True device sync: block_until_ready does not reliably fence through
+    the axon tunnel — force a scalar readback."""
+    np.asarray(x).ravel()[:1]
+
+
+def bench_train(cfg, scene, targets, iters: int = 100):
     import jax
     import jax.numpy as jnp
 
+    from nerfail_tpu.train.nerf_trainer import (
+        create_train_state, make_train_step,
+    )
+
+    mcfg, rcfg, tcfg = cfg.model, cfg.render, cfg.train
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(key, mcfg, rcfg, tcfg)
+    step_fn = make_train_step(mcfg, rcfg, tcfg, precrop=False)
+
+    images = jnp.asarray(targets[scene.i_train])
+    poses = jnp.asarray(scene.poses[scene.i_train])
+    K = jnp.asarray(scene.K)
+    params, opt_state = state.params, state.opt_state
+
+    for i in range(3):
+        params, opt_state, m = step_fn(
+            params, opt_state, images, poses, K, jax.random.fold_in(key, i)
+        )
+    _fence(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step_fn(
+            params, opt_state, images, poses, K,
+            jax.random.fold_in(key, 100 + i),
+        )
+    _fence(m["loss"])
+    dt = time.perf_counter() - t0
+
+    # roofline from the measured steady-state rate. XLA cost analysis
+    # reports flops=0 through the axon tunnel, so MLP FLOPs are accounted
+    # analytically (utils/profiling.nerf_train_step_flops).
+    from nerfail_tpu.utils.profiling import (
+        V5E_PEAK_BF16_TFLOPS, nerf_train_step_flops,
+    )
+
+    ips = iters / dt
+    flops = nerf_train_step_flops(mcfg, rcfg, tcfg.N_rand)
+    tflops = flops * ips / 1e12
+    roof = {
+        "ms_per_step": round(1e3 / ips, 2),
+        "analytic_tflop_per_step": round(flops / 1e12, 4),
+        "tflops_per_s": round(tflops, 1),
+        "mfu_pct_vs_v5e_bf16": round(100 * tflops / V5E_PEAK_BF16_TFLOPS, 1),
+    }
+    try:
+        cost = step_fn.lower(
+            params, opt_state, images, poses, K, jax.random.fold_in(key, 9)
+        ).compile().cost_analysis()
+        xla_flops = float(cost.get("flops", 0.0))
+        if xla_flops > 0:
+            roof["xla_tflop_per_step"] = round(xla_flops / 1e12, 4)
+        ba = float(cost.get("bytes accessed", 0.0))
+        if ba > 0:
+            roof["xla_bytes_per_step"] = ba
+    except Exception:
+        pass
+    return ips, roof
+
+
+def bench_render(cfg, scene, n_images: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfail_tpu.models.nerf import init_nerf_params
+    from nerfail_tpu.render import render_full_image
+
+    mcfg, rcfg = cfg.model, cfg.render
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    pc = init_nerf_params(kc, mcfg)
+    pf = init_nerf_params(kf, mcfg)
+    H = W = 800
+    K = jnp.asarray(scene.K)
+    pose = jnp.asarray(scene.poses[0])
+
+    out = render_full_image(pc, pf, mcfg, rcfg, H, W, K, pose)
+    _fence(out["rgb_map"])
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        out = render_full_image(pc, pf, mcfg, rcfg, H, W, K, pose)
+    _fence(out["rgb_map"])
+    dt = time.perf_counter() - t0
+    return n_images * H * W / dt
+
+
+def bench_attack(n_views: int = 8, H: int = 800, iters: int = 10):
+    """One full NeRFail-S step: splat → white-composite → resize 299² →
+    inception-v3 → CE grad → sign step → ε-projection, 8×800² views."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfail_tpu.attacks.forward import make_classifier_logits_fn
+    from nerfail_tpu.attacks.nerfail_s import make_nerfail_s_step
+    from nerfail_tpu.config import AttackConfig
+    from nerfail_tpu.models.classifiers import get_classifier
+
+    rng = np.random.default_rng(0)
+    p = 3
+    M = p * H * H
+    weights = rng.uniform(0, 1, (n_views, H, H, 8)).astype(np.float32)
+    weights /= weights.sum(-1, keepdims=True)
+    idx = rng.integers(0, M, (n_views, H, H, 8)).astype(np.int32)
+    ori = np.full((n_views, H, H, 4), 128.0, np.float32)
+    ori[..., 3] = 255.0
+    labels = np.zeros(n_views, np.int64)
+    delta = np.zeros((p, H, H, 4), np.float32)
+    delta[..., 3] = 255.0
+
+    import optax
+
+    from nerfail_tpu.train.classifier_trainer import init_classifier
+
+    model = get_classifier("inception")
+    cstate = init_classifier(
+        model, jax.random.PRNGKey(0), 299, optax.sgd(1e-3)
+    )
+    logits_fn = make_classifier_logits_fn(model, cstate.params, cstate.extra)
+
+    acfg = AttackConfig(eps=32.0, a=2.0, batch_size=n_views)
+    step = make_nerfail_s_step(logits_fn, acfg, 299)
+
+    d = jnp.asarray(delta)
+    args = (
+        jnp.asarray(delta), jnp.asarray(weights), jnp.asarray(idx),
+        jnp.asarray(ori), jnp.asarray(labels),
+        jnp.ones(n_views, jnp.float32),
+    )
+    d, m = step(d, *args)
+    _fence(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, m = step(d, *args)
+    _fence(m["loss"])
+    return iters / (time.perf_counter() - t0)
+
+
+def main() -> None:
     from nerfail_tpu.config import (
         ExperimentConfig, NeRFModelConfig, RenderConfig, TrainConfig,
     )
     from nerfail_tpu.data.blender import white_background_composite
     from nerfail_tpu.data.synthetic import make_box_scene
-    from nerfail_tpu.train.nerf_trainer import (
-        create_train_state, make_train_step,
-    )
 
     mcfg = NeRFModelConfig()                       # 8×256, 63/27-ch encodings
     rcfg = RenderConfig(N_samples=64, N_importance=128)
@@ -39,41 +186,23 @@ def main() -> None:
     scene = make_box_scene(n_train=8, n_val=1, n_test=1, H=800, W=800)
     targets = white_background_composite(scene.images)
 
-    key = jax.random.PRNGKey(0)
-    state = create_train_state(key, mcfg, rcfg, tcfg)
-    step_fn = make_train_step(mcfg, rcfg, tcfg, precrop=False)
+    train_ips, roof = bench_train(cfg, scene, targets)
+    rays_ps = bench_render(cfg, scene)
+    attack_ips = bench_attack()
 
-    images = jnp.asarray(targets[scene.i_train])
-    poses = jnp.asarray(scene.poses[scene.i_train])
-    K = jnp.asarray(scene.K)
-    params, opt_state = state.params, state.opt_state
-
-    # warmup (compile + first steps). NOTE: block_until_ready does not
-    # reliably synchronize through the axon tunnel — force a scalar
-    # readback (np.asarray) to fence true device execution.
-    for i in range(3):
-        params, opt_state, m = step_fn(
-            params, opt_state, images, poses, K, jax.random.fold_in(key, i)
-        )
-    float(np.asarray(m["loss"]))
-
-    n_iters = 100
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        params, opt_state, m = step_fn(
-            params, opt_state, images, poses, K,
-            jax.random.fold_in(key, 100 + i),
-        )
-    float(np.asarray(m["loss"]))   # true sync fence
-    dt = time.perf_counter() - t0
-
-    iters_per_s = n_iters / dt
     baseline_iters_per_s = 7.0   # nerf-pytorch, RTX 2080 Ti (BASELINE.md)
     print(json.dumps({
         "metric": "nerf_train_iters_per_s_full_lego_config",
-        "value": round(iters_per_s, 2),
+        "value": round(train_ips, 2),
         "unit": "iters/s (1024 rays, 64+128 samples, 8x256 MLP)",
-        "vs_baseline": round(iters_per_s / baseline_iters_per_s, 2),
+        "vs_baseline": round(train_ips / baseline_iters_per_s, 2),
+        "extra": {
+            "render_rays_per_s_800sq": round(rays_ps, 0),
+            "attack_nerfail_s_iters_per_s_8x800sq_inception": round(
+                attack_ips, 3
+            ),
+            "train_step_roofline": roof,
+        },
     }))
 
 

@@ -86,12 +86,19 @@ def render_rays(
     far=None,
     key: Optional[jax.Array] = None,
     train: bool = False,
+    t_rand: Optional[jnp.ndarray] = None,
+    u_pdf: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a [N, 3] ray batch; the reference's render_rays+raw2outputs.
 
     Returns rgb/disp/acc maps (fine), coarse `rgb0/disp0/acc0`, `z_std`,
     and `pts_max` — the dominant 3D point per ray (argmax of fine
     compositing weights; nerf_to_coord.py:418-421).
+
+    `t_rand`/`u_pdf` inject explicit stratified-jitter and inverse-CDF
+    uniforms — the reference's `pytest=True` deterministic hooks
+    (run_nerf.py:373-377, run_nerf_helpers.py:214-223) for allclose
+    parity tests.
     """
     n_rays = rays_o.shape[0]
     near = rcfg.near if near is None else near
@@ -108,7 +115,7 @@ def render_rays(
 
     z_vals = stratified_z_vals(
         n_rays, rcfg.N_samples, near, far, rcfg.lindisp,
-        key=k_strat if perturb_on else None,
+        key=k_strat if perturb_on else None, t_rand=t_rand,
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
@@ -126,7 +133,7 @@ def render_rays(
         z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         z_samples = sample_pdf(
             z_mids, coarse["weights"][..., 1:-1], rcfg.N_importance,
-            det=not perturb_on, key=k_pdf,
+            det=not perturb_on and u_pdf is None, key=k_pdf, u=u_pdf,
         )
         z_samples = jax.lax.stop_gradient(z_samples)  # run_nerf.py:394
         z_all = jnp.sort(

@@ -23,6 +23,35 @@ V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_HBM_GBPS = 819.0
 
 
+def nerf_mlp_flops_per_point(mcfg) -> int:
+    """Analytic matmul FLOPs for one forward through the NeRF MLP.
+
+    Fallback accounting for environments where XLA's cost analysis is
+    unavailable (the axon tunnel reports flops=0)."""
+    dims = []
+    fan_in = mcfg.input_ch
+    W = mcfg.netwidth
+    for i in range(mcfg.netdepth):
+        dims.append((fan_in, W))
+        fan_in = W + mcfg.input_ch if i in mcfg.skips else W
+    if mcfg.use_viewdirs:
+        dims += [
+            (W, W), (W, 1),
+            (W + mcfg.input_ch_views, W // 2), (W // 2, 3),
+        ]
+    else:
+        dims += [(W, 4)]
+    return 2 * sum(a * b for a, b in dims)
+
+
+def nerf_train_step_flops(mcfg, rcfg, n_rand: int) -> float:
+    """Analytic FLOPs of one train step: coarse (N_samples pts/ray) + fine
+    (N_samples+N_importance pts/ray) forwards, backward ≈ 2× forward."""
+    per_pt = nerf_mlp_flops_per_point(mcfg)
+    pts = n_rand * (2 * rcfg.N_samples + rcfg.N_importance)
+    return 3.0 * per_pt * pts
+
+
 def fence(tree: Any) -> None:
     """Force completion of every array in `tree` (scalar readback)."""
     import jax
