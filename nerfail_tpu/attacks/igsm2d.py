@@ -17,6 +17,9 @@ import numpy as np
 import optax
 
 from nerfail_tpu.config import AttackConfig
+from nerfail_tpu.attacks.checkpoint import (
+    clear_attack_state, load_attack_state, save_attack_state,
+)
 from nerfail_tpu.attacks.forward import universal_2d_forward
 from nerfail_tpu.attacks.nerfail_s import AttackResult
 
@@ -57,15 +60,30 @@ def igsm_2d_attack(
     resize_to: Optional[int] = 299,
     log_fn: Optional[Callable] = None,
     epochs: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> AttackResult:
     n, H, W = ori_imgs.shape[:3]
     bank = np.zeros((n, H, W, 3), np.float32)
     step_fn = make_igsm2d_step(logits_fn, cfg, resize_to)
     bs = cfg.batch_size
     epochs = epochs if epochs is not None else cfg.attack_epochs
-    result = AttackResult(delta=bank)
+    # best init = snapshot of the initial bank (the reference clones it,
+    # attack_IGSM_2D.py:253); a live alias would mutate with the bank
+    result = AttackResult(delta=bank.copy())
 
-    for epoch in range(epochs):
+    start_epoch = 0
+    if checkpoint_path:
+        state = load_attack_state(checkpoint_path)
+        if state is not None:
+            arrays, meta = state
+            bank = arrays["bank"]
+            result.delta = arrays["best_bank"]
+            result.best_attack_acc = meta["best_attack_acc"]
+            result.history = meta["history"]
+            start_epoch = meta["epoch"] + 1
+
+    for epoch in range(start_epoch, epochs):
         attacked_correct = clean_correct = 0
         t0 = time.time()
         for s in range(0, n, bs):
@@ -89,4 +107,13 @@ def igsm_2d_attack(
         if entry["attack_acc"] < result.best_attack_acc:
             result.best_attack_acc = entry["attack_acc"]
             result.delta = bank.copy()
+        if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            save_attack_state(
+                checkpoint_path,
+                {"bank": bank, "best_bank": result.delta},
+                {"epoch": epoch,
+                 "best_attack_acc": result.best_attack_acc,
+                 "history": result.history},
+            )
+    clear_attack_state(checkpoint_path)
     return result

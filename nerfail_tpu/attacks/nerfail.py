@@ -28,6 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerfail_tpu.config import AttackConfig
+from nerfail_tpu.attacks.checkpoint import (
+    clear_attack_state, load_attack_state, save_attack_state,
+)
 from nerfail_tpu.attacks.deepfool import deepfool
 from nerfail_tpu.attacks.forward import splat_attack_forward
 from nerfail_tpu.attacks.nerfail_s import AttackResult
@@ -111,6 +114,8 @@ def nerfail_attack(
     m2_max_limit: float = 1e6,
     accumulate_incomplete: bool = False,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> AttackResult:
     n = ori_imgs.shape[0]
     epochs = epochs if epochs is not None else cfg.attack_epochs
@@ -148,7 +153,7 @@ def nerfail_attack(
         )
 
     delta = jnp.asarray(delta0)
-    result = AttackResult(delta=np.asarray(delta0))
+    result = AttackResult(delta=np.array(delta0))
     best_m1 = None
     df_batch = None       # built lazily once num_classes is known
 
@@ -157,6 +162,17 @@ def nerfail_attack(
     m1 = cfg.m1
     epoch = 0
     epochs_run = 0
+    if checkpoint_path:
+        state = load_attack_state(checkpoint_path)
+        if state is not None:
+            arrays, meta = state
+            delta = jnp.asarray(arrays["delta"])
+            result.delta = arrays["best_delta"]
+            result.best_attack_acc = meta["best_attack_acc"]
+            result.history = meta["history"]
+            best_m1 = meta["best_m1"]
+            m1, m1_lo, m1_hi = meta["m1"], meta["m1_lo"], meta["m1_hi"]
+            epoch, epochs_run = meta["epoch"], meta["epochs_run"]
     while epoch < epochs:
         t0 = time.time()
         # m2 and its escalation counters reset every epoch
@@ -296,7 +312,19 @@ def nerfail_attack(
         # changes, the integer bisection can ping-pong between m1_lo and
         # m1_lo+1 forever — cap the total epochs actually executed.
         epochs_run += 1
+        if checkpoint_path and epochs_run % checkpoint_every == 0:
+            # snapshot AFTER the state machine: m1/epoch are the values the
+            # next loop iteration will observe, so resume continues exactly
+            save_attack_state(
+                checkpoint_path,
+                {"delta": np.asarray(delta), "best_delta": result.delta},
+                {"best_attack_acc": result.best_attack_acc,
+                 "history": result.history, "best_m1": best_m1,
+                 "m1": m1, "m1_lo": m1_lo, "m1_hi": m1_hi,
+                 "epoch": epoch, "epochs_run": epochs_run},
+            )
         if epochs_run >= max(10 * epochs, epochs + 20):
             break
 
+    clear_attack_state(checkpoint_path)
     return result

@@ -27,6 +27,9 @@ import numpy as np
 import optax
 
 from nerfail_tpu.config import AttackConfig
+from nerfail_tpu.attacks.checkpoint import (
+    clear_attack_state, load_attack_state, save_attack_state,
+)
 from nerfail_tpu.attacks.forward import splat_attack_forward
 
 
@@ -122,8 +125,15 @@ def nerfail_s_attack(
     log_fn: Optional[Callable] = None,
     epochs: Optional[int] = None,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> AttackResult:
-    """Host driver: epochs × batches, best-tensor tracking by attack acc."""
+    """Host driver: epochs × batches, best-tensor tracking by attack acc.
+
+    With `checkpoint_path`, (δ, best δ, epoch, history) persist every
+    `checkpoint_every` epochs and an interrupted run resumes exactly where
+    it stopped (the reference has no mid-attack state — SURVEY §5).
+    """
     step_fn = make_nerfail_s_step(logits_fn, cfg, resize_to, mesh=mesh)
     n = ori_imgs.shape[0]
     bs = cfg.batch_size
@@ -131,9 +141,20 @@ def nerfail_s_attack(
 
     delta = jnp.asarray(delta0)
     delta0_d = jnp.asarray(delta0)
-    result = AttackResult(delta=np.asarray(delta0))
+    result = AttackResult(delta=np.array(delta0))
 
-    for epoch in range(epochs):
+    start_epoch = 0
+    if checkpoint_path:
+        state = load_attack_state(checkpoint_path)
+        if state is not None:
+            arrays, meta = state
+            delta = jnp.asarray(arrays["delta"])
+            result.delta = arrays["best_delta"]
+            result.best_attack_acc = meta["best_attack_acc"]
+            result.history = meta["history"]
+            start_epoch = meta["epoch"] + 1
+
+    for epoch in range(start_epoch, epochs):
         attacked_correct = clean_correct = 0
         t0 = time.time()
         for s in range(0, n, bs):
@@ -168,4 +189,13 @@ def nerfail_s_attack(
         if attack_acc <= result.best_attack_acc:
             result.best_attack_acc = attack_acc
             result.delta = np.asarray(delta)
+        if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            save_attack_state(
+                checkpoint_path,
+                {"delta": np.asarray(delta), "best_delta": result.delta},
+                {"epoch": epoch,
+                 "best_attack_acc": result.best_attack_acc,
+                 "history": result.history},
+            )
+    clear_attack_state(checkpoint_path)
     return result

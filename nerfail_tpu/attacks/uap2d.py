@@ -16,6 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerfail_tpu.config import AttackConfig
+from nerfail_tpu.attacks.checkpoint import (
+    clear_attack_state, load_attack_state, save_attack_state,
+)
 from nerfail_tpu.attacks.deepfool import deepfool
 from nerfail_tpu.attacks.forward import universal_2d_forward
 from nerfail_tpu.attacks.nerfail_s import AttackResult
@@ -36,11 +39,24 @@ def uap_2d_attack(
     resize_to: Optional[int] = 299,
     log_fn: Optional[Callable] = None,
     epochs: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> AttackResult:
     n, H, W = ori_imgs.shape[:3]
     epochs = epochs if epochs is not None else cfg.attack_epochs
     delta = jnp.zeros((H, W, 3), jnp.float32)
     result = AttackResult(delta=np.asarray(delta))
+
+    start_epoch = 0
+    if checkpoint_path:
+        state = load_attack_state(checkpoint_path)
+        if state is not None:
+            arrays, meta = state
+            delta = jnp.asarray(arrays["delta"])
+            result.delta = arrays["best_delta"]
+            result.best_attack_acc = meta["best_attack_acc"]
+            result.history = meta["history"]
+            start_epoch = meta["epoch"] + 1
 
     def view_logits(d, ori):
         out = universal_2d_forward(d, ori[None], logits_fn, resize_to)
@@ -51,7 +67,7 @@ def uap_2d_attack(
         out = universal_2d_forward(d, ori[None], logits_fn, resize_to)
         return out["logits"][0], out["ori_logits"][0]
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         attacked_correct = 0
         for v in range(n):
@@ -83,4 +99,13 @@ def uap_2d_attack(
         if entry["attack_acc"] < result.best_attack_acc:
             result.best_attack_acc = entry["attack_acc"]
             result.delta = np.asarray(delta)
+        if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            save_attack_state(
+                checkpoint_path,
+                {"delta": np.asarray(delta), "best_delta": result.delta},
+                {"epoch": epoch,
+                 "best_attack_acc": result.best_attack_acc,
+                 "history": result.history},
+            )
+    clear_attack_state(checkpoint_path)
     return result

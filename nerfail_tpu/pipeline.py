@@ -238,8 +238,15 @@ class Pipeline:
         save: bool = True,
         indices: Optional[Sequence[int]] = None,
         split: str = "test",
+        checkpoint: bool = True,
+        checkpoint_every: int = 1,
     ):
-        """Run one attack engine, write artifacts, return AttackResult."""
+        """Run one attack engine, write artifacts, return AttackResult.
+
+        With `checkpoint` (default), in-flight attack state persists to
+        `<method_dir>/attack_state.npz` every `checkpoint_every` epochs so
+        a preempted 100-epoch run resumes instead of restarting.
+        """
         import jax.numpy as jnp
 
         from nerfail_tpu.attacks.forward import (
@@ -253,6 +260,16 @@ class Pipeline:
         label = scene_class_index(scene_name)
         labels = np.full(ori_images.shape[0], label, np.int64)
 
+        method_dir = self.layout.attack_dir(
+            model_name, scene_name, method, acfg, step=0
+        )
+        ckpt_path = (
+            os.path.join(method_dir, "attack_state.npz") if checkpoint
+            else None
+        )
+        ck = {"checkpoint_path": ckpt_path,
+              "checkpoint_every": checkpoint_every}
+
         if method in ("NeRFail", "NeRFail_S"):
             assert tables is not None and mask_images is not None
             weights, idx = tables
@@ -261,22 +278,23 @@ class Pipeline:
                 result = nerfail_s_attack(
                     delta0, weights, idx, ori_images, labels, logits_fn,
                     acfg, resize_to=resize_to, epochs=epochs,
-                    mesh=self.mesh,
+                    mesh=self.mesh, **ck,
                 )
             else:
                 result = nerfail_attack(
                     delta0, weights, idx, ori_images, logits_fn, acfg,
                     resize_to=resize_to, epochs=epochs, mesh=self.mesh,
+                    **ck,
                 )
         elif method == "IGSM_2D":
             result = igsm_2d_attack(
                 ori_images, labels, logits_fn, acfg,
-                resize_to=resize_to, epochs=epochs,
+                resize_to=resize_to, epochs=epochs, **ck,
             )
         elif method == "Universal_2D":
             result = uap_2d_attack(
                 ori_images, logits_fn, acfg, resize_to=resize_to,
-                epochs=epochs,
+                epochs=epochs, **ck,
             )
         else:
             raise ValueError(f"unknown method {method}")
