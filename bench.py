@@ -153,13 +153,19 @@ def bench_attack(n_views: int = 8, H: int = 800, iters: int = 10):
     logits_fn = make_classifier_logits_fn(model, cstate.params, cstate.extra)
 
     acfg = AttackConfig(eps=32.0, a=2.0, batch_size=n_views)
-    step = make_nerfail_s_step(logits_fn, acfg, 299)
+    # the planned splat backward (chunk-aligned Pallas segment-sum) is
+    # what the real driver uses on TPU; the plan is static per batch
+    from nerfail_tpu.ops.pallas.segsum_kernel import build_scatter_plan
+
+    plan = build_scatter_plan(idx, weights, M, pair_mask=ori[..., 3:] > 0)
+    step = make_nerfail_s_step(logits_fn, acfg, 299, planned=True)
 
     d = jnp.asarray(delta)
     args = (
         jnp.asarray(delta), jnp.asarray(weights), jnp.asarray(idx),
         jnp.asarray(ori), jnp.asarray(labels),
         jnp.ones(n_views, jnp.float32),
+        plan.pix_id, plan.w, plan.local,
     )
     d, m = step(d, *args)
     _fence(m["loss"])

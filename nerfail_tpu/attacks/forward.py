@@ -23,12 +23,13 @@ carries a custom segment-sum VJP (ops/splat.py).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfail_tpu.ops.splat import splat_gather
 
@@ -50,12 +51,50 @@ def white_composite_255(rgb: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(alpha > 0, rgb, 255.0)
 
 
+@lru_cache(maxsize=8)
+def _resize_weights(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] bilinear-resize weights along one axis, as numpy.
+
+    Bilinear resize is a separable linear map, so resizing the identity
+    yields its exact matrix (incl. jax.image.resize's antialiased kernel
+    when downscaling). Computed eagerly on the CPU backend (eager op
+    dispatch to a remote TPU is pathologically slow) and cached as a
+    host numpy array so the result is a trace-safe constant — a cached
+    jnp array built during a trace would leak the tracer.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        eye = jnp.eye(n_in, dtype=jnp.float32)
+        w = jax.image.resize(eye, (n_out, n_in), method="bilinear")
+    return np.asarray(w)
+
+
+def _resize_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
+    """Resize one axis of x via a 2D matmul with the bilinear matrix."""
+    A = jnp.asarray(_resize_weights(x.shape[axis], n_out))
+    x = jnp.moveaxis(x, axis, -1)
+    lead = x.shape[:-1]
+    y = jax.lax.dot_general(
+        x.reshape(-1, x.shape[-1]), A,
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(y.reshape(*lead, n_out), -1, axis)
+
+
 def resize_batch(x: jnp.ndarray, size: Optional[int]) -> jnp.ndarray:
+    """Differentiable bilinear resize of [B, H, W, C] to [B, size, size, C].
+
+    Runs as two flat 2D matmuls (W then H axis) instead of
+    jax.image.resize's gather path — the gather and its transposed
+    scatter were ~100× slower than the MXU contraction on TPU for the
+    attack's 800→299 case (and a 4D einsum formulation compiled to
+    pathological layouts); the matrices reproduce jax.image.resize's
+    bilinear numerics exactly (linear map of the identity)."""
     if size is None or x.shape[1] == size:
         return x
-    return jax.image.resize(
-        x, (x.shape[0], size, size, x.shape[-1]), method="bilinear"
-    )
+    y = _resize_axis(x, size, axis=2)
+    return _resize_axis(y, size, axis=1)
 
 
 def splat_attack_forward(
@@ -66,9 +105,10 @@ def splat_attack_forward(
     logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
     eps: Optional[float] = None,
     resize_to: Optional[int] = 299,
+    plan=None,                   # ScatterPlan for the splat backward
 ) -> Dict[str, jnp.ndarray]:
     """Returns dict(splat, attacked_rgba, logits, ori_logits, eps_stats)."""
-    splat = splat_gather(point_rgba, idx, weights)        # [B, H, W, 4]
+    splat = splat_gather(point_rgba, idx, weights, plan=plan)  # [B,H,W,4]
     alpha = splat[..., 3:4] / 255.0
     ori_alpha = ori_img[..., 3:4]
 

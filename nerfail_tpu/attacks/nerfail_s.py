@@ -38,6 +38,7 @@ def make_nerfail_s_step(
     cfg: AttackConfig,
     resize_to: Optional[int],
     mesh=None,
+    planned: bool = False,
 ) -> Callable:
     """Jitted (δ, δ0, batch) → (δ', metrics).
 
@@ -45,10 +46,19 @@ def make_nerfail_s_step(
     (the shared 3D perturbation) stays replicated — XLA inserts the psum
     of ∂loss/∂δ across view shards over ICI, the multi-view analogue of
     DP gradient sync (SURVEY.md §5).
+
+    With `planned=True` the step takes two extra args (perm, local) — a
+    host-precomputed ScatterPlan layout (ops/pallas/segsum_kernel) that
+    routes the splat backward through the chunk-aligned Pallas
+    segment-sum instead of XLA's scatter. Single-mesh only.
     """
+    assert not (planned and mesh is not None), (
+        "the planned splat backward is single-device; shard without it"
+    )
 
     @jax.jit
-    def step(delta, delta0, weights, idx, ori_img, labels, valid):
+    def step(delta, delta0, weights, idx, ori_img, labels, valid,
+             plan_pix=None, plan_w=None, plan_local=None):
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
 
@@ -58,12 +68,20 @@ def make_nerfail_s_step(
             labels = constrain_data(labels, mesh)
             valid = constrain_data(valid, mesh)
 
+        plan = None
+        if planned:
+            from nerfail_tpu.ops.pallas.segsum_kernel import ScatterPlan
+
+            plan = ScatterPlan(
+                pix_id=plan_pix, w=plan_w, local=plan_local,
+                num_points=delta.reshape(-1, 4).shape[0],
+            )
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
 
         def loss_fn(d):
             out = splat_attack_forward(
                 d.reshape(-1, 4), weights, idx, ori_img, logits_fn,
-                eps=cfg.eps, resize_to=resize_to,
+                eps=cfg.eps, resize_to=resize_to, plan=plan,
             )
             # ragged tails are padded to the static batch shape and masked
             # out of the loss; matches the reference DataLoader's partial
@@ -134,10 +152,31 @@ def nerfail_s_attack(
     `checkpoint_every` epochs and an interrupted run resumes exactly where
     it stopped (the reference has no mid-attack state — SURVEY §5).
     """
-    step_fn = make_nerfail_s_step(logits_fn, cfg, resize_to, mesh=mesh)
+    # single-device runs route the splat backward through the planned
+    # Pallas segment-sum: the neighbor tables are static per batch, so the
+    # chunk-bucketed layout is built once per batch (host) and reused
+    # every epoch. Background pairs (ori_alpha == 0 → provably zero
+    # gradient) are dropped at plan-build time.
+    use_plan = mesh is None and jax.default_backend() == "tpu"
+    step_fn = make_nerfail_s_step(
+        logits_fn, cfg, resize_to, mesh=mesh, planned=use_plan,
+    )
     n = ori_imgs.shape[0]
     bs = cfg.batch_size
     epochs = epochs if epochs is not None else cfg.attack_epochs
+    plans = {}
+
+    def batch_plan(s, ids):
+        if s not in plans:
+            from nerfail_tpu.ops.pallas.segsum_kernel import (
+                build_scatter_plan,
+            )
+
+            plans[s] = build_scatter_plan(
+                idx[ids], weights[ids], delta0.reshape(-1, 4).shape[0],
+                pair_mask=ori_imgs[ids][..., 3:] > 0,
+            )
+        return plans[s]
 
     delta = jnp.asarray(delta0)
     delta0_d = jnp.asarray(delta0)
@@ -166,11 +205,15 @@ def nerfail_s_attack(
                 pad = bs - len(ids)
                 ids = np.concatenate([ids, np.full(pad, ids[-1])])
                 valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            extra = ()
+            if use_plan:
+                plan = batch_plan(s, ids)
+                extra = (plan.pix_id, plan.w, plan.local)
             delta, m = step_fn(
                 delta, delta0_d,
                 jnp.asarray(weights[ids]), jnp.asarray(idx[ids]),
                 jnp.asarray(ori_imgs[ids]), jnp.asarray(labels[ids]),
-                jnp.asarray(valid),
+                jnp.asarray(valid), *extra,
             )
             attacked_correct += int(m["attacked_correct"])
             clean_correct += int(m["clean_correct"])

@@ -39,8 +39,8 @@ from nerfail_tpu.ops.encoding import positional_encoding
 
 # forward keeps only one [T, 320] activation live → big tiles amortize the
 # per-grid-step overhead; backward stashes all D layer activations in VMEM
-# (D·T·256·4B) so its tile stays smaller.
-FWD_TILE = 1024
+# (D·T·256·2B in bf16) so its tile stays smaller.
+FWD_TILE = 2048
 BWD_TILE = 512
 TILE = BWD_TILE  # alignment granularity for input padding
 _DOT = functools.partial(
@@ -124,16 +124,18 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
             r[:] = jnp.zeros_like(r)
 
     # ---- recompute forward, stashing layer inputs AND relu outputs ----
+    # stash in MATMUL_DTYPE: the matmuls re-cast to it anyway, so nothing
+    # is lost on the dW path, and the live-VMEM footprint halves (bf16)
     x = enc_x_ref[:]
     h = x
     hs = []            # input to layer i
     outs = []          # relu output of layer i (pre-skip-concat)
     for i in range(depth):
-        hs.append(h)
+        hs.append(h.astype(MATMUL_DTYPE))
         h = jnp.maximum(_mm(h, w_refs[i][:]) + b_refs[i][:], 0.0)
-        outs.append(h)
+        outs.append(h.astype(MATMUL_DTYPE))
         if i in skips:
-            h = jnp.concatenate([x, h], axis=-1)
+            h = jnp.concatenate([x.astype(h.dtype), h], axis=-1)
     trunk = h                                               # [T, 256]
     feature = _mm(trunk, w_refs[depth][:]) + b_refs[depth][:]
     hv_in = jnp.concatenate([feature, enc_d_ref[:]], axis=-1)
@@ -168,7 +170,8 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
             # h was concat([x, relu_out]) after layer i
             d_x += d_h[:, : x.shape[-1]]
             d_h = d_h[:, x.shape[-1]:]
-        d_z = jnp.where(outs[i] > 0, d_h, 0.0)
+        # relu mask in f32: Mosaic has no bf16 vector compare on v5e
+        d_z = jnp.where(outs[i].astype(jnp.float32) > 0, d_h, 0.0)
         db_refs[i][:] += jnp.sum(d_z, axis=0, keepdims=True)
         dw_refs[i][:] += _mm_tA(hs[i], d_z)
         d_h = _mm_tB(d_z, w_refs[i][:])
@@ -241,6 +244,9 @@ def _fused_call(static, enc_x, enc_d, ws, bs):
 
 def _run_fwd(static, enc_x, enc_d, ws, bs):
     depth, skips = static
+    # one XLA-level cast per call instead of a VPU cast per grid step;
+    # also halves the per-step weight VMEM traffic (bf16)
+    ws = tuple(w.astype(MATMUL_DTYPE) for w in ws)
     n = enc_x.shape[0]
     tile = FWD_TILE if n % FWD_TILE == 0 else TILE
     grid = (n // tile,)
@@ -271,6 +277,7 @@ def _fused_fwd(static, enc_x, enc_d, ws, bs):
 def _fused_bwd(static, res, g):
     depth, skips = static
     enc_x, enc_d, ws, bs = res
+    ws = tuple(w.astype(MATMUL_DTYPE) for w in ws)
     n = enc_x.shape[0]
     tile = BWD_TILE
     grid = (n // tile,)

@@ -15,16 +15,38 @@ deterministic scatter on TPU, far better than 5.1M serialized scatter-adds.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
 
-@jax.custom_vjp
-def splat_gather(points: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray):
+def splat_gather(
+    points: jnp.ndarray,
+    idx: jnp.ndarray,
+    w: jnp.ndarray,
+    plan=None,
+):
     """points [M, C], idx [..., k] int32, w [..., k] → [..., C].
 
     out = Σ_j w_j · points[idx_j]
+
+    With a `ScatterPlan` (ops/pallas/segsum_kernel.build_scatter_plan,
+    host-precomputed once per static neighbor table) the backward runs
+    the chunk-aligned Pallas segment-sum instead of XLA's scatter —
+    ~6× faster at attack scale (8×800²×8 pairs). The planned path
+    treats BOTH idx and w as non-differentiable constants (they are
+    static tables in every attack); d/dw comes back as zeros.
     """
+    if plan is None:
+        return _splat_gather(points, idx, w)
+    return _splat_gather_planned(
+        points, idx, w, plan.pix_id, plan.w, plan.local
+    )
+
+
+@jax.custom_vjp
+def _splat_gather(points: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray):
     return _splat_fwd_impl(points, idx, w)
 
 
@@ -54,4 +76,30 @@ def _splat_bwd(res, g):
     return d_points, None, d_w
 
 
-splat_gather.defvjp(_splat_fwd, _splat_bwd)
+_splat_gather.defvjp(_splat_fwd, _splat_bwd)
+
+
+@jax.custom_vjp
+def _splat_gather_planned(points, idx, w, pix_id, w_pad, local):
+    return _splat_fwd_impl(points, idx, w)
+
+
+def _splat_planned_fwd(points, idx, w, pix_id, w_pad, local):
+    out = _splat_fwd_impl(points, idx, w)
+    return out, (points.shape, w, pix_id, w_pad, local)
+
+
+def _splat_planned_bwd(res, g):
+    from nerfail_tpu.ops.pallas.segsum_kernel import planned_segment_sum
+
+    points_shape, w, pix_id, w_pad, local = res
+    M, C = points_shape
+    d_points = planned_segment_sum(
+        g.reshape(-1, C), pix_id, w_pad, local, M
+    )
+    # w is a static table in every caller; skipping its cotangent avoids
+    # a second 41M-id gather per step (see splat_gather docstring)
+    return d_points, None, jnp.zeros_like(w), None, None, None
+
+
+_splat_gather_planned.defvjp(_splat_planned_fwd, _splat_planned_bwd)
