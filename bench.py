@@ -163,9 +163,10 @@ def bench_attack(n_views: int = 8, H: int = 800, iters: int = 10):
     d = jnp.asarray(delta)
     args = (
         jnp.asarray(delta), jnp.asarray(weights), jnp.asarray(idx),
-        jnp.asarray(ori), jnp.asarray(labels),
+        jnp.asarray(ori), jnp.asarray(labels, np.int32),
         jnp.ones(n_views, jnp.float32),
-        plan.pix_id, plan.w, plan.local,
+        jnp.asarray(plan.row_chunk), jnp.asarray(plan.pix_id),
+        jnp.asarray(plan.w), jnp.asarray(plan.local),
     )
     d, m = step(d, *args)
     _fence(m["loss"])

@@ -140,6 +140,137 @@ def deepfool(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "logits_fn_b", "num_classes", "max_iter", "targeted",
+        "preserve_alpha",
+    ),
+)
+def deepfool_batch(
+    logits_fn_b: Callable[[jnp.ndarray], jnp.ndarray],
+    delta0: jnp.ndarray,          # shared start [p, H, W, 4] (or 2D shape)
+    ori_logits_b: jnp.ndarray,    # [V, C] clean logits per view
+    num_classes: int = 8,
+    max_iter: int = 1000,
+    m1: float = 1.0,
+    m2: float = 30.0,
+    overshoot: float = 0.02,
+    targeted: bool = False,
+    target_label: int = 0,
+    preserve_alpha: bool = True,
+) -> DeepFoolResult:
+    """All V views walk margin-DeepFool simultaneously from one δ₀.
+
+    `logits_fn_b` maps the batched perturbation [V, *δ] → [V, C] — its
+    backward is ONE batched pullback per class (C total per iteration)
+    through the whole splat/resize/classifier pipeline instead of V·C,
+    which is what lets the combined-plan Pallas splat backward
+    (ops/splat.splat_gather_batched) serve the NeRFail/DeepFool path.
+    Per-view semantics are identical to `deepfool` (verified by
+    tests/test_attacks): each view stops on its own label flip and its
+    rot is the view's total delta.
+    """
+    V = ori_logits_b.shape[0]
+    ori_label = jnp.argmax(ori_logits_b, axis=-1)               # [V]
+    if targeted:
+        margin = m1 * (1.0 - jax.nn.one_hot(target_label, num_classes))
+        margin = jnp.broadcast_to(margin, (V, num_classes))
+    else:
+        margin = m1 * jax.nn.one_hot(ori_label, num_classes)    # [V, C]
+
+    def flipped(logits_b) -> jnp.ndarray:                       # [V] bool
+        pred = jnp.argmax(logits_b + margin, axis=-1)
+        if targeted:
+            return pred == target_label
+        return pred != ori_label
+
+    delta0_b = jnp.broadcast_to(delta0, (V,) + delta0.shape)
+
+    def cond(carry):
+        _, _, i, done, _ = carry
+        return jnp.any(jnp.logical_and(i < max_iter, jnp.logical_not(done)))
+
+    def body(carry):
+        delta_b, rot_b, i, done, _ = carry
+        logits_b, pullback = jax.vjp(logits_fn_b, delta_b)
+        # jac[c, v, ...] = ∂logits[v, c]/∂δ_b[v] — one batched pullback per
+        # class (cross-view derivatives are zero by construction)
+        jac = jax.vmap(
+            lambda e: pullback(jnp.broadcast_to(e, (V, num_classes)))[0]
+        )(jnp.eye(num_classes, dtype=logits_b.dtype))   # [C, V, *δ]
+        jacf = jac.reshape(num_classes, V, -1)
+
+        is_done = flipped(logits_b)
+        active = jnp.logical_and(jnp.logical_not(done),
+                                 jnp.logical_not(is_done))      # [V]
+        # a view at max_iter without a flip freezes while others continue
+        active = jnp.logical_and(active, i < max_iter)
+
+        ori_logit = jnp.take_along_axis(
+            logits_b, ori_label[:, None], axis=-1
+        )                                                       # [V, 1]
+        f = logits_b - ori_logit - m2                           # [V, C]
+        # ‖∇k − ∇ori‖² without materializing the [C, V, *δ] difference:
+        # ‖a−b‖² = ‖a‖² − 2⟨a,b⟩ + ‖b‖² (saves a jac-sized buffer at the
+        # attack's [8, 8, 1.92M, 4] scale)
+        jac_ori = jnp.take_along_axis(
+            jacf, ori_label[None, :, None], axis=0
+        )[0]                                                    # [V, D]
+        nk = jnp.sum(jacf * jacf, axis=-1).T                    # [V, C]
+        cross = jnp.einsum("cvd,vd->vc", jacf, jac_ori)
+        n_ori = jnp.sum(jac_ori * jac_ori, axis=-1)             # [V]
+        sq = jnp.maximum(nk - 2.0 * cross + n_ori[:, None], 0.0)
+        value = jnp.abs(f) / (jnp.sqrt(sq) + 1e-4)              # [V, C]
+        if targeted:
+            k = jnp.full((V,), target_label, jnp.int32)
+        else:
+            value = jnp.where(
+                jax.nn.one_hot(ori_label, num_classes, dtype=bool),
+                jnp.inf, value,
+            )
+            k = jnp.argmin(value, axis=-1)                      # [V]
+
+        jac_k = jnp.take_along_axis(jacf, k[None, :, None], axis=0)[0]
+        gdiff_k = (jac_k - jac_ori).reshape((V,) + delta0.shape)
+        f_k = jnp.take_along_axis(f, k[:, None], axis=-1)[:, 0]
+        sq_k = jnp.take_along_axis(sq, k[:, None], axis=-1)[:, 0]
+        scale = jnp.abs(f_k) / (sq_k + 1e-4)                    # [V]
+        amask = active.astype(delta_b.dtype).reshape(
+            (V,) + (1,) * delta0.ndim
+        )
+        rot_b = rot_b + amask * scale.reshape(amask.shape) * gdiff_k
+        new_delta = jnp.clip(delta0_b + overshoot * rot_b, -255.0, 255.0)
+        if preserve_alpha:
+            new_delta = jnp.concatenate(
+                [new_delta[..., :3], delta0_b[..., 3:4]], axis=-1
+            )
+        return (
+            new_delta, rot_b,
+            i + active.astype(i.dtype),
+            jnp.logical_or(done, is_done),
+            jnp.argmax(logits_b + margin, axis=-1),
+        )
+
+    init = (
+        delta0_b,
+        jnp.zeros_like(delta0_b),
+        jnp.zeros((V,), jnp.int32),
+        jnp.zeros((V,), bool),
+        ori_label,
+    )
+    delta_b, rot_b, iters, done, last_pred = jax.lax.while_loop(
+        cond, body, init
+    )
+    return DeepFoolResult(
+        rot=delta_b - delta0_b,
+        iters=iters,
+        ori_label=ori_label,
+        final_label=last_pred,
+        delta=delta_b,
+    )
+
+
 def _logits_and_jacobian(logits_fn, delta, num_classes):
     """(logits [C], d logits / d delta [C, *delta.shape]).
 

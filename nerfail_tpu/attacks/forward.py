@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerfail_tpu.ops.splat import splat_gather
+from nerfail_tpu.ops.splat import splat_gather, splat_gather_batched
 
 
 def make_classifier_logits_fn(
@@ -98,7 +98,7 @@ def resize_batch(x: jnp.ndarray, size: Optional[int]) -> jnp.ndarray:
 
 
 def splat_attack_forward(
-    point_rgba: jnp.ndarray,     # [M, 4] perturbation point set (0-255)
+    point_rgba: jnp.ndarray,     # [M, 4] point set (0-255), or [B, M, 4]
     weights: jnp.ndarray,        # [B, H, W, 8]
     idx: jnp.ndarray,            # [B, H, W, 8] int32 into point set
     ori_img: jnp.ndarray,        # [B, H, W, 4] clean RGBA (0-255)
@@ -106,9 +106,21 @@ def splat_attack_forward(
     eps: Optional[float] = None,
     resize_to: Optional[int] = 299,
     plan=None,                   # ScatterPlan for the splat backward
+    mesh=None,                   # shard the view axis + planned backward
 ) -> Dict[str, jnp.ndarray]:
-    """Returns dict(splat, attacked_rgba, logits, ori_logits, eps_stats)."""
-    splat = splat_gather(point_rgba, idx, weights, plan=plan)  # [B,H,W,4]
+    """Returns dict(splat, attacked_rgba, logits, ori_logits, eps_stats).
+
+    A 3D `point_rgba` [B, M, 4] means each view carries its own perturbed
+    copy of the point set (the batched-DeepFool inner state); `plan` must
+    then come from build_batched_scatter_plan."""
+    if point_rgba.ndim == 3:
+        splat = splat_gather_batched(
+            point_rgba, idx, weights, plan=plan, mesh=mesh
+        )
+    else:
+        splat = splat_gather(
+            point_rgba, idx, weights, plan=plan, mesh=mesh
+        )                                                      # [B,H,W,4]
     alpha = splat[..., 3:4] / 255.0
     ori_alpha = ori_img[..., 3:4]
 

@@ -61,8 +61,12 @@ def igsm_2d_attack(
     log_fn: Optional[Callable] = None,
     epochs: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 10,
 ) -> AttackResult:
+    """Per-view bank engine. `checkpoint_every` defaults to 10 (not 1):
+    each save rewrites the full [N, H, W, 3] bank ×2 (≈6 GB at 400×800²),
+    so per-epoch saves would dominate a 100-epoch run's wall-clock; the
+    best bank is additionally written only on epochs where it improved."""
     n, H, W = ori_imgs.shape[:3]
     bank = np.zeros((n, H, W, 3), np.float32)
     step_fn = make_igsm2d_step(logits_fn, cfg, resize_to)
@@ -71,18 +75,25 @@ def igsm_2d_attack(
     # best init = snapshot of the initial bank (the reference clones it,
     # attack_IGSM_2D.py:253); a live alias would mutate with the bank
     result = AttackResult(delta=bank.copy())
+    fp = {"n_views": n, "view_shape": list(ori_imgs.shape[1:]),
+          "eps": cfg.eps, "a": cfg.a, "targeted": cfg.targeted,
+          "epochs": epochs, "engine": "igsm2d"}
 
     start_epoch = 0
+    best_path = checkpoint_path + ".best.npz" if checkpoint_path else None
     if checkpoint_path:
-        state = load_attack_state(checkpoint_path)
+        state = load_attack_state(checkpoint_path, fingerprint=fp)
         if state is not None:
             arrays, meta = state
             bank = arrays["bank"]
-            result.delta = arrays["best_bank"]
+            best = load_attack_state(best_path, fingerprint=fp)
+            result.delta = (best[0]["best_bank"] if best is not None
+                            else bank.copy())
             result.best_attack_acc = meta["best_attack_acc"]
             result.history = meta["history"]
             start_epoch = meta["epoch"] + 1
 
+    best_dirty = start_epoch == 0     # first save must seed the best file
     for epoch in range(start_epoch, epochs):
         attacked_correct = clean_correct = 0
         t0 = time.time()
@@ -107,13 +118,24 @@ def igsm_2d_attack(
         if entry["attack_acc"] < result.best_attack_acc:
             result.best_attack_acc = entry["attack_acc"]
             result.delta = bank.copy()
+            best_dirty = True
         if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            # the best bank lives in its own file, rewritten only when it
+            # actually improved since the last save — the live bank alone
+            # is ~3 GB at 400×800² and already dominates the save
+            if best_dirty:
+                save_attack_state(
+                    best_path, {"best_bank": result.delta}, {},
+                    fingerprint=fp,
+                )
+                best_dirty = False
             save_attack_state(
-                checkpoint_path,
-                {"bank": bank, "best_bank": result.delta},
+                checkpoint_path, {"bank": bank},
                 {"epoch": epoch,
                  "best_attack_acc": result.best_attack_acc,
                  "history": result.history},
+                fingerprint=fp,
             )
     clear_attack_state(checkpoint_path)
+    clear_attack_state(best_path)
     return result

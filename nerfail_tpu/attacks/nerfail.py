@@ -12,9 +12,13 @@ Re-designs attack_NeRFail.py (reference :28-523). Structure:
       the tensor / final-epoch flags (:434-472)
     * best-tensor tracking by attack accuracy (:490-503)
 
-  inner loop (device): one jitted `deepfool` per view — lax.while_loop +
-  one jacrev per iteration (attacks/deepfool.py) instead of the
-  reference's 14 serialized autograd.grad calls per iteration.
+  inner loop (device): one jitted batched DeepFool per view batch —
+  lax.while_loop + C batched pullbacks per iteration
+  (attacks/deepfool.deepfool_batch) instead of the reference's 14
+  serialized autograd.grad calls per view per iteration. On TPU the
+  splat backward inside every pullback runs the combined-plan Pallas
+  segment-sum (ops/splat.splat_gather_batched) — the r2 XLA-scatter
+  path cost ~2.3 s per pullback at attack scale (VERDICT r2 #2).
 """
 
 from __future__ import annotations
@@ -31,9 +35,10 @@ from nerfail_tpu.config import AttackConfig
 from nerfail_tpu.attacks.checkpoint import (
     clear_attack_state, load_attack_state, save_attack_state,
 )
-from nerfail_tpu.attacks.deepfool import deepfool
+from nerfail_tpu.attacks.deepfool import deepfool_batch
 from nerfail_tpu.attacks.forward import splat_attack_forward
 from nerfail_tpu.attacks.nerfail_s import AttackResult
+from nerfail_tpu.utils.device_cache import DeviceBudgetCache
 
 
 def make_view_logits_fn(
@@ -58,21 +63,27 @@ def make_batched_deepfool(
     num_classes: int,
     mesh=None,
     accumulate_incomplete: bool = False,
+    planned: bool = False,
 ):
-    """vmapped DeepFool over a view batch with a shared (replicated) δ.
+    """Batched DeepFool over a view batch with a shared (replicated) δ.
 
-    TPU-first scaling of the attack's hottest loop: the view axis is
-    sharded over the mesh "data" axis (each chip group walks DeepFool for
-    its views; lax.while_loop batches fine under vmap), δ stays replicated,
-    and the masked sum of per-view deltas is the psum the SURVEY §5
-    collectives spec calls for. Semantics: synchronous accumulation within
-    the batch (every view starts from the same δ), vs the reference's
-    strictly sequential per-view accumulation (attack_NeRFail.py:341-408).
+    TPU-first scaling of the attack's hottest loop: all V views walk
+    DeepFool simultaneously from the current δ; each carries its own
+    perturbed copy of the point set ([V, M, 4]) whose splat backward is
+    ONE combined-plan Pallas pass per class pullback (`planned=True`,
+    plan from build_batched_scatter_plan). With a mesh the view axis
+    shards over "data" (per-shard sub-plans; cotangents stay view-local,
+    no collective needed until the masked rot sum). Semantics:
+    synchronous accumulation within the batch (every view starts from the
+    same δ), vs the reference's strictly sequential per-view accumulation
+    (attack_NeRFail.py:341-408); view_batch=1 reproduces the reference
+    order exactly.
     """
-    view_logits = make_view_logits_fn(logits_fn, cfg, resize_to)
 
     @jax.jit
-    def df_batch(delta, w, i, ori, ori_logits, active, m1, m2):
+    def df_batch(delta, w, i, ori, ori_logits, active, m1, m2,
+                 plan_rc=None, plan_pix=None, plan_w=None, plan_local=None):
+        ori = ori.astype(jnp.float32)
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
 
@@ -82,16 +93,34 @@ def make_batched_deepfool(
             ori_logits = constrain_data(ori_logits, mesh)
             active = constrain_data(active, mesh)
 
-        def one(w_v, i_v, ori_v, ol_v):
-            fn = lambda d: view_logits(d, w_v, i_v, ori_v)
-            return deepfool(
-                fn, delta, ol_v, num_classes=num_classes,
-                max_iter=cfg.df_max_iter, m1=m1, m2=m2,
-                overshoot=cfg.overshoot,
-                targeted=cfg.targeted, target_label=cfg.target_label,
+        V = w.shape[0]
+        M = delta.reshape(-1, 4).shape[0]
+        plan = None
+        if planned:
+            from nerfail_tpu.ops.pallas.segsum_kernel import ScatterPlan
+
+            S = plan_rc.shape[0]
+            plan = ScatterPlan(
+                pix_id=plan_pix, w=plan_w, local=plan_local,
+                row_chunk=plan_rc,
+                num_points=(V // S) * M,
+                n_pixels=i[..., 0].size // S,
+                n_pairs=-1,
             )
 
-        res = jax.vmap(one)(w, i, ori, ori_logits)
+        def logits_fn_b(delta_b):
+            out = splat_attack_forward(
+                delta_b.reshape(V, M, 4), w, i, ori, logits_fn,
+                eps=cfg.eps, resize_to=resize_to, plan=plan, mesh=mesh,
+            )
+            return out["logits"]
+
+        res = deepfool_batch(
+            logits_fn_b, delta, ori_logits, num_classes=num_classes,
+            max_iter=cfg.df_max_iter, m1=m1, m2=m2,
+            overshoot=cfg.overshoot,
+            targeted=cfg.targeted, target_label=cfg.target_label,
+        )
         complete = res.iters < cfg.df_max_iter          # [V]
         use = active if accumulate_incomplete else active & complete
         mask = use.astype(delta.dtype)
@@ -116,20 +145,24 @@ def nerfail_attack(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
+    plan_device_budget: int = 2 << 30,
 ) -> AttackResult:
     n = ori_imgs.shape[0]
     epochs = epochs if epochs is not None else cfg.attack_epochs
-    view_logits = make_view_logits_fn(logits_fn, cfg, resize_to)
     num_classes = None
+    M = delta0.reshape(-1, 4).shape[0]
+    use_plan = jax.default_backend() == "tpu"
+    n_shards = int(mesh.shape.get("data", 1)) if mesh is not None else 1
 
     view_batch = max(cfg.view_batch, 1)
     if mesh is not None:
         # round up to a multiple of the data axis so every batch shards
-        dsize = int(mesh.shape.get("data", 1))
-        view_batch = ((max(view_batch, dsize) + dsize - 1) // dsize) * dsize
+        view_batch = ((max(view_batch, n_shards) + n_shards - 1)
+                      // n_shards) * n_shards
 
     @jax.jit
     def eval_views(delta, w, i, ori):
+        ori = ori.astype(jnp.float32)
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
 
@@ -142,15 +175,25 @@ def nerfail_attack(
         )
         return out["logits"], out["ori_logits"]
 
-    def run_deepfool(delta, w, i, ori, ori_logits, m1, m2):
-        fn = lambda d: view_logits(d, w, i, ori)
-        return deepfool(
-            fn, delta, ori_logits,
-            num_classes=int(ori_logits.shape[-1]),
-            max_iter=cfg.df_max_iter, m1=float(m1), m2=float(m2),
-            overshoot=cfg.overshoot,
-            targeted=cfg.targeted, target_label=cfg.target_label,
-        )
+    # static per-batch tables + combined DeepFool scatter plans, device-
+    # pinned under the byte budget, streamed (async) beyond it
+    cache = DeviceBudgetCache(plan_device_budget)
+
+    def build_batch(s: int):
+        ids, valid = _nerfail_batch_ids(s, n, view_batch)
+        arrays = [weights[ids], idx[ids], ori_imgs[ids], valid]
+        if use_plan:
+            from nerfail_tpu.ops.pallas.segsum_kernel import (
+                build_batched_scatter_plan,
+            )
+
+            plan = build_batched_scatter_plan(
+                idx[ids], weights[ids], M,
+                pair_mask=ori_imgs[ids][..., 3:] > 0,
+                n_shards=n_shards,
+            )
+            arrays += [plan.row_chunk, plan.pix_id, plan.w, plan.local]
+        return tuple(arrays)
 
     delta = jnp.asarray(delta0)
     result = AttackResult(delta=np.array(delta0))
@@ -162,8 +205,11 @@ def nerfail_attack(
     m1 = cfg.m1
     epoch = 0
     epochs_run = 0
+    fp = {"n_views": n, "view_shape": list(ori_imgs.shape[1:]),
+          "eps": cfg.eps, "m1_init": cfg.m1, "m2_init": cfg.m2,
+          "targeted": cfg.targeted, "epochs": epochs}
     if checkpoint_path:
-        state = load_attack_state(checkpoint_path)
+        state = load_attack_state(checkpoint_path, fingerprint=fp)
         if state is not None:
             arrays, meta = state
             delta = jnp.asarray(arrays["delta"])
@@ -191,15 +237,10 @@ def nerfail_attack(
         attacked_correct = clean_correct = still_same = 0
         df_calls = df_iters_total = 0
         for s in range(0, n, view_batch):
-            ids = np.arange(s, min(s + view_batch, n))
-            valid = np.ones(len(ids), bool)
-            if len(ids) < view_batch:       # pad ragged tail, mask it out
-                pad = view_batch - len(ids)
-                ids = np.concatenate([ids, np.full(pad, ids[-1])])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
-            w = jnp.asarray(weights[ids])
-            i = jnp.asarray(idx[ids])
-            ori = jnp.asarray(ori_imgs[ids])
+            _, valid = _nerfail_batch_ids(s, n, view_batch)
+            dev = cache.get(s, lambda s=s: build_batch(s))
+            w, i, ori = dev[0], dev[1], dev[2]
+            plan_args = dev[4:]
             logits, ori_logits = eval_views(delta, w, i, ori)
             preds = np.argmax(np.asarray(logits), axis=-1)
             ori_preds = np.argmax(np.asarray(ori_logits), axis=-1)
@@ -211,53 +252,35 @@ def nerfail_attack(
             if num_classes is None:
                 num_classes = int(logits.shape[-1])
 
-            if view_batch == 1:
-                # reference-faithful sequential accumulation
-                res = run_deepfool(
-                    delta, w[0], i[0], ori[0], ori_logits[0], m1, m2
+            if df_batch is None:
+                df_batch = make_batched_deepfool(
+                    logits_fn, cfg, resize_to, num_classes, mesh=mesh,
+                    accumulate_incomplete=accumulate_incomplete,
+                    planned=use_plan,
                 )
-                iters = int(res.iters)
-                df_calls += 1
-                df_iters_total += iters
-                if iters < cfg.df_max_iter or accumulate_incomplete:
-                    delta = delta + res.rot
-                    tensor_changed = True
-                    attacks_after_m2 += 1
-                elif m2 < m2_max_limit:
-                    no_attack_after_m2 += 1
-                    attacks_after_m2 += 1
-                    if (attacks_after_m2 > 10
-                            and no_attack_after_m2 / attacks_after_m2 > 0.5):
-                        m2 *= 10.0
-                        no_attack_after_m2 = attacks_after_m2 = 0
-            else:
-                if df_batch is None:
-                    df_batch = make_batched_deepfool(
-                        logits_fn, cfg, resize_to, num_classes, mesh=mesh,
-                        accumulate_incomplete=accumulate_incomplete,
-                    )
-                rot_sum, iters_v, used, complete = df_batch(
-                    delta, w, i, ori, ori_logits, jnp.asarray(same), m1, m2
-                )
-                iters_v = np.asarray(iters_v)
-                used = np.asarray(used)
-                complete = np.asarray(complete)
-                df_calls += int(same.sum())
-                df_iters_total += int(iters_v[same].sum())
-                n_used = int(used.sum())
-                if n_used:
-                    delta = delta + rot_sum
-                    tensor_changed = True
-                    attacks_after_m2 += n_used
-                failed = same & ~complete & ~used
-                nf = int(failed.sum())
-                if nf and m2 < m2_max_limit:
-                    no_attack_after_m2 += nf
-                    attacks_after_m2 += nf
-                    if (attacks_after_m2 > 10
-                            and no_attack_after_m2 / attacks_after_m2 > 0.5):
-                        m2 *= 10.0
-                        no_attack_after_m2 = attacks_after_m2 = 0
+            rot_sum, iters_v, used, complete = df_batch(
+                delta, w, i, ori, ori_logits, jnp.asarray(same), m1, m2,
+                *plan_args,
+            )
+            iters_v = np.asarray(iters_v)
+            used = np.asarray(used)
+            complete = np.asarray(complete)
+            df_calls += int(same.sum())
+            df_iters_total += int(iters_v[same].sum())
+            n_used = int(used.sum())
+            if n_used:
+                delta = delta + rot_sum
+                tensor_changed = True
+                attacks_after_m2 += n_used
+            failed = same & ~complete & ~used
+            nf = int(failed.sum())
+            if nf and m2 < m2_max_limit:
+                no_attack_after_m2 += nf
+                attacks_after_m2 += nf
+                if (attacks_after_m2 > 10
+                        and no_attack_after_m2 / attacks_after_m2 > 0.5):
+                    m2 *= 10.0
+                    no_attack_after_m2 = attacks_after_m2 = 0
 
         attack_acc = attacked_correct / n
         entry = {
@@ -322,9 +345,21 @@ def nerfail_attack(
                  "history": result.history, "best_m1": best_m1,
                  "m1": m1, "m1_lo": m1_lo, "m1_hi": m1_hi,
                  "epoch": epoch, "epochs_run": epochs_run},
+                fingerprint=fp,
             )
         if epochs_run >= max(10 * epochs, epochs + 20):
             break
 
     clear_attack_state(checkpoint_path)
     return result
+
+
+def _nerfail_batch_ids(s: int, n: int, view_batch: int):
+    """Pad the ragged tail to the static batch shape; mask marks real views."""
+    ids = np.arange(s, min(s + view_batch, n))
+    valid = np.ones(len(ids), bool)
+    if len(ids) < view_batch:
+        pad = view_batch - len(ids)
+        ids = np.concatenate([ids, np.full(pad, ids[-1])])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    return ids, valid

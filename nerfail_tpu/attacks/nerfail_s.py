@@ -10,9 +10,17 @@ batch of views:
   δ_rgb ← clip into [δ₀−ε, δ₀+ε]            (ε-ball projection :384-392)
 
 The whole batch update (splat forward, CE, gradient, sign step, projection)
-is ONE jitted XLA program; the view axis is batch-sharded-ready. Best
-tensor by attack accuracy is tracked host-side like the reference
-(:422-431).
+is ONE jitted XLA program. With a mesh the view axis shards over "data"
+and δ's gradient psums over ICI; the splat backward runs the planned
+Pallas segment-sum on TPU in both the single-chip and the sharded case
+(per-shard sub-plans, ops/pallas/segsum_kernel.planned_segment_sum_sharded).
+
+Memory discipline at reference scale (VERDICT r2 #1): scatter plans and
+neighbor tables are HOST-resident numpy; a byte-budgeted device cache
+(utils/device_cache) pins as many as fit under `plan_device_budget` and
+streams the rest with async transfers that overlap the previous step's
+compute. Peak HBM from attack tables is therefore bounded by the budget
++ one in-flight batch, at any number of views.
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ from nerfail_tpu.attacks.checkpoint import (
     clear_attack_state, load_attack_state, save_attack_state,
 )
 from nerfail_tpu.attacks.forward import splat_attack_forward
+from nerfail_tpu.utils.device_cache import DeviceBudgetCache
 
 
 def make_nerfail_s_step(
@@ -47,18 +56,16 @@ def make_nerfail_s_step(
     of ∂loss/∂δ across view shards over ICI, the multi-view analogue of
     DP gradient sync (SURVEY.md §5).
 
-    With `planned=True` the step takes two extra args (perm, local) — a
-    host-precomputed ScatterPlan layout (ops/pallas/segsum_kernel) that
-    routes the splat backward through the chunk-aligned Pallas
-    segment-sum instead of XLA's scatter. Single-mesh only.
+    With `planned=True` the step takes four extra args — the ScatterPlan
+    arrays ([S, n_rows, ROW_PB] with S = mesh data size, 1 single-chip) —
+    and routes the splat backward through the chunk-aligned Pallas
+    segment-sum instead of XLA's scatter, sharded or not.
     """
-    assert not (planned and mesh is not None), (
-        "the planned splat backward is single-device; shard without it"
-    )
 
     @jax.jit
     def step(delta, delta0, weights, idx, ori_img, labels, valid,
-             plan_pix=None, plan_w=None, plan_local=None):
+             plan_rc=None, plan_pix=None, plan_w=None, plan_local=None):
+        ori_img = ori_img.astype(jnp.float32)   # tables travel uint8
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
 
@@ -72,16 +79,20 @@ def make_nerfail_s_step(
         if planned:
             from nerfail_tpu.ops.pallas.segsum_kernel import ScatterPlan
 
+            S = plan_rc.shape[0]
             plan = ScatterPlan(
                 pix_id=plan_pix, w=plan_w, local=plan_local,
+                row_chunk=plan_rc,
                 num_points=delta.reshape(-1, 4).shape[0],
+                n_pixels=idx[..., 0].size // S,
+                n_pairs=-1,
             )
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
 
         def loss_fn(d):
             out = splat_attack_forward(
                 d.reshape(-1, 4), weights, idx, ori_img, logits_fn,
-                eps=cfg.eps, resize_to=resize_to, plan=plan,
+                eps=cfg.eps, resize_to=resize_to, plan=plan, mesh=mesh,
             )
             # ragged tails are padded to the static batch shape and masked
             # out of the loss; matches the reference DataLoader's partial
@@ -145,6 +156,7 @@ def nerfail_s_attack(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
+    plan_device_budget: int = 2 << 30,
 ) -> AttackResult:
     """Host driver: epochs × batches, best-tensor tracking by attack acc.
 
@@ -152,31 +164,48 @@ def nerfail_s_attack(
     `checkpoint_every` epochs and an interrupted run resumes exactly where
     it stopped (the reference has no mid-attack state — SURVEY §5).
     """
-    # single-device runs route the splat backward through the planned
-    # Pallas segment-sum: the neighbor tables are static per batch, so the
-    # chunk-bucketed layout is built once per batch (host) and reused
-    # every epoch. Background pairs (ori_alpha == 0 → provably zero
-    # gradient) are dropped at plan-build time.
-    use_plan = mesh is None and jax.default_backend() == "tpu"
+    # On TPU the splat backward routes through the planned Pallas
+    # segment-sum (single-chip AND sharded): neighbor tables are static
+    # per batch, so the chunk-bucketed layout is built once per batch on
+    # the host. Background pairs (ori_alpha == 0 → provably zero gradient)
+    # are dropped at plan-build time.
+    use_plan = jax.default_backend() == "tpu"
+    n_shards = int(mesh.shape.get("data", 1)) if mesh is not None else 1
     step_fn = make_nerfail_s_step(
         logits_fn, cfg, resize_to, mesh=mesh, planned=use_plan,
     )
     n = ori_imgs.shape[0]
     bs = cfg.batch_size
+    if mesh is not None:
+        assert bs % n_shards == 0, (
+            f"batch_size {bs} must divide over the data axis {n_shards}"
+        )
     epochs = epochs if epochs is not None else cfg.attack_epochs
-    plans = {}
+    M = delta0.reshape(-1, 4).shape[0]
+    ori_u8 = ori_imgs if ori_imgs.dtype == np.uint8 else None
 
-    def batch_plan(s, ids):
-        if s not in plans:
+    # host-built static per-batch data; device residency bounded by budget
+    cache = DeviceBudgetCache(plan_device_budget)
+
+    def build_batch(s: int):
+        ids, valid = _batch_ids(s, n, bs)
+        arrays = [weights[ids], idx[ids],
+                  ori_u8[ids] if ori_u8 is not None else ori_imgs[ids],
+                  np.asarray(labels, np.int32)[ids], valid]
+        if use_plan:
             from nerfail_tpu.ops.pallas.segsum_kernel import (
                 build_scatter_plan,
             )
 
-            plans[s] = build_scatter_plan(
-                idx[ids], weights[ids], delta0.reshape(-1, 4).shape[0],
+            plan = build_scatter_plan(
+                idx[ids], weights[ids], M,
                 pair_mask=ori_imgs[ids][..., 3:] > 0,
+                n_shards=n_shards,
             )
-        return plans[s]
+            arrays += [plan.row_chunk, plan.pix_id, plan.w, plan.local]
+        return tuple(arrays)
+
+    starts = list(range(0, n, bs))
 
     delta = jnp.asarray(delta0)
     delta0_d = jnp.asarray(delta0)
@@ -184,7 +213,10 @@ def nerfail_s_attack(
 
     start_epoch = 0
     if checkpoint_path:
-        state = load_attack_state(checkpoint_path)
+        state = load_attack_state(
+            checkpoint_path,
+            fingerprint=_fingerprint(cfg, n, ori_imgs.shape, epochs),
+        )
         if state is not None:
             arrays, meta = state
             delta = jnp.asarray(arrays["delta"])
@@ -196,27 +228,17 @@ def nerfail_s_attack(
     for epoch in range(start_epoch, epochs):
         attacked_correct = clean_correct = 0
         t0 = time.time()
-        for s in range(0, n, bs):
-            # pad the ragged tail to the static batch shape (valid-masked
-            # inside the step) so every view is attacked without a retrace
-            ids = np.arange(s, min(s + bs, n))
-            valid = np.ones(len(ids), np.float32)
-            if len(ids) < bs:
-                pad = bs - len(ids)
-                ids = np.concatenate([ids, np.full(pad, ids[-1])])
-                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-            extra = ()
-            if use_plan:
-                plan = batch_plan(s, ids)
-                extra = (plan.pix_id, plan.w, plan.local)
-            delta, m = step_fn(
-                delta, delta0_d,
-                jnp.asarray(weights[ids]), jnp.asarray(idx[ids]),
-                jnp.asarray(ori_imgs[ids]), jnp.asarray(labels[ids]),
-                jnp.asarray(valid), *extra,
-            )
-            attacked_correct += int(m["attacked_correct"])
-            clean_correct += int(m["clean_correct"])
+        pending = None      # 1-deep metric pipeline: sync AFTER dispatching
+        for s in starts:
+            dev = cache.get(s, lambda s=s: build_batch(s))
+            delta, m = step_fn(delta, delta0_d, *dev)
+            if pending is not None:
+                attacked_correct += int(pending["attacked_correct"])
+                clean_correct += int(pending["clean_correct"])
+            pending = m     # don't block the async dispatch pipeline
+        if pending is not None:
+            attacked_correct += int(pending["attacked_correct"])
+            clean_correct += int(pending["clean_correct"])
         attack_acc = attacked_correct / n
         entry = {
             "epoch": epoch,
@@ -239,6 +261,29 @@ def nerfail_s_attack(
                 {"epoch": epoch,
                  "best_attack_acc": result.best_attack_acc,
                  "history": result.history},
+                fingerprint=_fingerprint(cfg, n, ori_imgs.shape, epochs),
             )
     clear_attack_state(checkpoint_path)
     return result
+
+
+def _batch_ids(s: int, n: int, bs: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad the ragged tail to the static batch shape (valid-masked inside
+    the step) so every view is attacked without a retrace."""
+    ids = np.arange(s, min(s + bs, n))
+    valid = np.ones(len(ids), np.float32)
+    if len(ids) < bs:
+        pad = bs - len(ids)
+        ids = np.concatenate([ids, np.full(pad, ids[-1])])
+        valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+    return ids, valid
+
+
+def _fingerprint(cfg: AttackConfig, n: int, shape, epochs: int) -> Dict:
+    """Checkpoint identity: a stale state from a run with different data
+    or hyperparameters must not silently resume (ADVICE r2)."""
+    return {
+        "n_views": n, "view_shape": list(shape[1:]),
+        "eps": cfg.eps, "a": cfg.a, "beta": cfg.beta,
+        "targeted": cfg.targeted, "epochs": epochs,
+    }

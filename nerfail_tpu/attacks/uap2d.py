@@ -4,6 +4,13 @@ Re-designs attack_UAP_2D.py (reference :219-374): one shared [H, W, 3]
 perturbation over all views; per epoch, for each still-correct view run
 DeepFool (2D forward) and accumulate + L∞-project the delta
 (`project_perturbation`, :224-229,319).
+
+Unlike the reference's strictly per-view python loop (one host-synced
+DeepFool per image), views are processed in `cfg.view_batch`-sized groups
+through `deepfool_batch` — the same batched while_loop engine as NeRFail —
+so the classifier forward/backward runs at batch width and the host syncs
+once per group. view_batch=1 reproduces the reference's sequential
+accumulation order exactly.
 """
 
 from __future__ import annotations
@@ -19,8 +26,9 @@ from nerfail_tpu.config import AttackConfig
 from nerfail_tpu.attacks.checkpoint import (
     clear_attack_state, load_attack_state, save_attack_state,
 )
-from nerfail_tpu.attacks.deepfool import deepfool
+from nerfail_tpu.attacks.deepfool import deepfool_batch
 from nerfail_tpu.attacks.forward import universal_2d_forward
+from nerfail_tpu.attacks.nerfail import _nerfail_batch_ids
 from nerfail_tpu.attacks.nerfail_s import AttackResult
 
 
@@ -44,12 +52,16 @@ def uap_2d_attack(
 ) -> AttackResult:
     n, H, W = ori_imgs.shape[:3]
     epochs = epochs if epochs is not None else cfg.attack_epochs
+    view_batch = max(cfg.view_batch, 1)
     delta = jnp.zeros((H, W, 3), jnp.float32)
     result = AttackResult(delta=np.asarray(delta))
+    fp = {"n_views": n, "view_shape": list(ori_imgs.shape[1:]),
+          "eps": cfg.eps, "targeted": cfg.targeted, "epochs": epochs,
+          "engine": "uap2d"}
 
     start_epoch = 0
     if checkpoint_path:
-        state = load_attack_state(checkpoint_path)
+        state = load_attack_state(checkpoint_path, fingerprint=fp)
         if state is not None:
             arrays, meta = state
             delta = jnp.asarray(arrays["delta"])
@@ -58,35 +70,56 @@ def uap_2d_attack(
             result.history = meta["history"]
             start_epoch = meta["epoch"] + 1
 
-    def view_logits(d, ori):
-        out = universal_2d_forward(d, ori[None], logits_fn, resize_to)
-        return out["logits"][0]
+    num_classes = None
 
     @jax.jit
-    def eval_view(d, ori):
-        out = universal_2d_forward(d, ori[None], logits_fn, resize_to)
-        return out["logits"][0], out["ori_logits"][0]
+    def eval_batch(d, ori):
+        out = universal_2d_forward(d, ori, logits_fn, resize_to)
+        return out["logits"], out["ori_logits"]
+
+    @jax.jit
+    def df_group(d, ori, ori_logits, active, m1, m2):
+        def logits_fn_b(delta_b):
+            out = universal_2d_forward(
+                delta_b, ori, logits_fn, resize_to
+            )
+            return out["logits"]
+
+        res = deepfool_batch(
+            logits_fn_b, d, ori_logits, num_classes=num_classes,
+            max_iter=cfg.df_max_iter, m1=m1, m2=m2,
+            overshoot=cfg.overshoot, targeted=cfg.targeted,
+            target_label=cfg.target_label, preserve_alpha=False,
+        )
+        complete = res.iters < cfg.df_max_iter
+        use = active & complete
+        rot_sum = jnp.einsum(
+            "v,v...->...", use.astype(d.dtype), res.rot
+        )
+        return rot_sum, use
 
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         attacked_correct = 0
-        for v in range(n):
-            ori = jnp.asarray(ori_imgs[v])
-            logits, ori_logits = eval_view(delta, ori)
-            pred = int(jnp.argmax(logits))
-            ori_pred = int(jnp.argmax(ori_logits))
-            attacked_correct += int(pred == ori_pred)
-            if pred != ori_pred:
+        for s in range(0, n, view_batch):
+            ids, valid = _nerfail_batch_ids(s, n, view_batch)
+            ori = jnp.asarray(ori_imgs[ids], jnp.float32)
+            logits, ori_logits = eval_batch(delta, ori)
+            preds = np.argmax(np.asarray(logits), -1)
+            ori_preds = np.argmax(np.asarray(ori_logits), -1)
+            same = (preds == ori_preds) & valid
+            attacked_correct += int(same.sum())
+            if not same.any():
                 continue
-            res = deepfool(
-                lambda d: view_logits(d, ori), delta, ori_logits,
-                num_classes=int(ori_logits.shape[-1]),
-                max_iter=cfg.df_max_iter, m1=cfg.m1, m2=cfg.m2,
-                overshoot=cfg.overshoot, targeted=cfg.targeted,
-                target_label=cfg.target_label, preserve_alpha=False,
+            if num_classes is None:
+                num_classes = int(logits.shape[-1])
+            rot_sum, used = df_group(
+                delta, ori, ori_logits, jnp.asarray(same), cfg.m1, cfg.m2
             )
-            if int(res.iters) < cfg.df_max_iter:
-                delta = project_perturbation(cfg.eps, np.inf, delta + res.rot)
+            if int(np.asarray(used).sum()):
+                delta = project_perturbation(
+                    cfg.eps, np.inf, delta + rot_sum
+                )
 
         entry = {
             "epoch": epoch,
@@ -106,6 +139,7 @@ def uap_2d_attack(
                 {"epoch": epoch,
                  "best_attack_acc": result.best_attack_acc,
                  "history": result.history},
+                fingerprint=fp,
             )
     clear_attack_state(checkpoint_path)
     return result

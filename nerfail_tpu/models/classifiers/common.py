@@ -54,5 +54,16 @@ def avg_pool(x, window=(3, 3), strides=(1, 1), padding="SAME"):
     return nn.avg_pool(x, window, strides, padding)
 
 
+def avg_pool_nopad(x, window=(3, 3), strides=(1, 1)):
+    """SAME avg-pool that divides by the number of REAL elements in each
+    window (torch's count_include_pad=False) — flax's nn.avg_pool divides
+    by the full window size, which differs at the borders. The inception
+    family uses the torch semantics (IncResv2.py Mixed_5b branch3)."""
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, ..., None]
+    summed = nn.pool(x, 0.0, jnp.add, window, strides, "SAME")
+    count = nn.pool(ones, 0.0, jnp.add, window, strides, "SAME")
+    return summed / count
+
+
 def global_avg_pool(x):
     return jnp.mean(x, axis=(1, 2))

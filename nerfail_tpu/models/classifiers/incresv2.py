@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from nerfail_tpu.models.classifiers.common import (
     ConvBN,
+    avg_pool_nopad,
     global_avg_pool,
     scale_input,
 )
@@ -27,7 +28,8 @@ class Mixed5b(nn.Module):
         b2 = ConvBN(64, (1, 1))(x, train)
         b2 = ConvBN(96, (3, 3))(b2, train)
         b2 = ConvBN(96, (3, 3))(b2, train)
-        b3 = nn.avg_pool(x, (3, 3), (1, 1), "SAME")
+        # torch count_include_pad=False semantics (IncResv2.py branch3)
+        b3 = avg_pool_nopad(x, (3, 3), (1, 1))
         b3 = ConvBN(64, (1, 1))(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 320
 

@@ -15,22 +15,36 @@ table. This module reformulates the scatter as exactly one such gather
 plus MXU work:
 
   host (once per attack batch; the neighbor tables are static):
-    bucket pairs by point-id chunk (512 consecutive ids), pad each
-    chunk's pair list to a fixed width PB → `ScatterPlan`:
-      pix_id [n_chunks, PB] — which pixel row feeds each pair
-      w      [n_chunks, PB] — the pair's static gaussian weight
-      local  [n_chunks, PB] — in-chunk point id (CHUNK ⇒ padding)
+    bucket pairs by point-id chunk (512 consecutive ids). Each chunk
+    gets ceil(count / ROW_PB) fixed-width rows (≥1 so every output
+    chunk is visited) → `ScatterPlan` of HOST numpy arrays:
+      pix_id    [S, n_rows, ROW_PB] — pixel row feeding each pair
+      w         [S, n_rows, ROW_PB] — the pair's static gaussian weight
+      local     [S, n_rows, ROW_PB] — in-chunk point id (CHUNK ⇒ pad)
+      row_chunk [S, n_rows]         — output chunk per row (sorted)
+    Row-based allocation bounds padding at ROW_PB−1 pairs per *chunk*
+    instead of the old layout's global-max-per-chunk width, which blew
+    up multi-GB on skewed point popularity. Plans stay on the host and
+    are streamed to the device per step (or cached under a byte
+    budget by the caller) — never accumulated in HBM. S is the mesh
+    "data"-axis size for sharded plans (1 for single-device).
     Within a chunk order is arbitrary but fixed → deterministic sums.
 
   device, per backward (g = ∂loss/∂splat, [B·H·W, C] pixel rows):
     1. ONE XLA gather g[pix_id] from the pixel-sized table, then
-    2. this kernel reduces each chunk with a one-hot contraction:
-       acc[C, 512] = Σ_pairs (w·g_pair)[C] ⊗ onehot(local)[512]
-       — MXU work with fully static block writes, no scatter anywhere.
+    2. this kernel reduces each row with a one-hot contraction:
+       acc[C, 512] += Σ_pairs (w·g_pair)[C] ⊗ onehot(local)[512]
+       — MXU work with no scatter anywhere. The output block index is
+       row_chunk[i] (scalar-prefetch index map); consecutive rows of
+       one chunk revisit the same block, which Pallas keeps resident
+       in VMEM until the index changes.
        (The [C, 512] orientation keeps the 512 axis on the lanes; the
        transposed [512, C=4] product would use 4 of 128 lanes.)
 
-Accumulation is f32 → same precision class as jax.ops.segment_sum.
+The contraction runs at Precision.HIGHEST: the one-hot operand is exact,
+but the default single-pass bf16 matmul would shave the contribution
+mantissas — HIGHEST keeps the result in the same precision class as
+jax.ops.segment_sum (validated on real TPU by tests/test_segsum_kernel).
 
 Pairs whose pixel provably contributes zero gradient (background:
 ori_alpha == 0 never reaches the classifier — the forward zeroes those
@@ -50,25 +64,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 512          # point ids per chunk (output block rows)
-PB_SLICE = 2048      # pairs processed per in-kernel sub-step (VMEM bound)
+ROW_PB = 2048        # pairs per plan row (one in-kernel MXU pass)
 
 
 @dataclass(frozen=True)
 class ScatterPlan:
-    """Host-built, device-resident scatter plan for one neighbor table."""
+    """Host-built scatter plan for one neighbor table (numpy, NOT device).
 
-    pix_id: jnp.ndarray    # [n_chunks, PB] int32 → pixel row feeding a pair
-    w: jnp.ndarray         # [n_chunks, PB] f32 pair weight (0 on padding)
-    local: jnp.ndarray     # [n_chunks, PB] int32 in-chunk id (CHUNK = pad)
-    num_points: int        # M (output rows, unpadded)
+    Leading axis S shards the plan by mesh "data" group (S=1 single
+    device). `num_points`/`n_pixels`/`n_pairs` let the splat validate a
+    plan against the tensors it is applied to — a stale plan from a
+    different batch raises instead of silently mis-summing.
+    """
+
+    pix_id: np.ndarray     # [S, n_rows, ROW_PB] int32 → pixel row per pair
+    w: np.ndarray          # [S, n_rows, ROW_PB] f32 pair weight (0 on pad)
+    local: np.ndarray      # [S, n_rows, ROW_PB] int32 in-chunk id (CHUNK=pad)
+    row_chunk: np.ndarray  # [S, n_rows] int32 output chunk per row (sorted)
+    num_points: int        # M (output rows per shard, unpadded)
+    n_pixels: int          # pixel-table length the gather expects (per shard)
+    n_pairs: int           # kept (unmasked) pairs across all shards
 
     @property
-    def n_chunks(self) -> int:
+    def n_shards(self) -> int:
         return self.pix_id.shape[0]
 
     @property
-    def pb(self) -> int:
+    def n_rows(self) -> int:
         return self.pix_id.shape[1]
+
+    @property
+    def nbytes(self) -> int:
+        return (self.pix_id.nbytes + self.w.nbytes + self.local.nbytes
+                + self.row_chunk.nbytes)
+
+
+def _build_single(flat_idx, w_flat, pix, num_points):
+    """One shard's row-based layout. flat_idx/w_flat/pix are 1D pair lists."""
+    n_chunks = -(-num_points // CHUNK)
+    chunk_of = (flat_idx // CHUNK).astype(np.int32)
+    chunk_counts = np.bincount(chunk_of, minlength=n_chunks)
+    # every chunk owns ≥1 row so its output block gets zeroed/written
+    rows_per_chunk = np.maximum(-(-chunk_counts // ROW_PB), 1).astype(np.int64)
+    row_start = np.zeros(n_chunks + 1, np.int64)
+    np.cumsum(rows_per_chunk, out=row_start[1:])
+    n_rows = int(row_start[-1])
+    row_chunk = np.repeat(
+        np.arange(n_chunks, dtype=np.int32), rows_per_chunk
+    )
+
+    # slot = row_start[chunk]·ROW_PB + rank-within-chunk (rows of one chunk
+    # are consecutive, so the flat offset is contiguous per chunk). int16
+    # sort keys keep numpy's radix argsort fast when they fit.
+    sort_keys = (
+        chunk_of.astype(np.int16) if n_chunks < 2 ** 15 else chunk_of
+    )
+    order = np.argsort(sort_keys, kind="stable")
+    chunk_starts = np.zeros(n_chunks + 1, np.int64)
+    np.cumsum(chunk_counts, out=chunk_starts[1:])
+    grouped_chunk = chunk_of[order]
+    slot = row_start[grouped_chunk] * ROW_PB
+    slot += np.arange(flat_idx.size, dtype=np.int64)
+    slot -= chunk_starts[grouped_chunk]
+
+    pix_id = np.zeros(n_rows * ROW_PB, np.int32)
+    w_pad = np.zeros(n_rows * ROW_PB, np.float32)
+    local = np.full(n_rows * ROW_PB, CHUNK, np.int32)   # pad → matches no row
+    pix_id[slot] = pix[order]
+    w_pad[slot] = w_flat[order]
+    local[slot] = flat_idx[order] - grouped_chunk * np.int32(CHUNK)
+    return (pix_id.reshape(n_rows, ROW_PB), w_pad.reshape(n_rows, ROW_PB),
+            local.reshape(n_rows, ROW_PB), row_chunk)
 
 
 def build_scatter_plan(
@@ -76,133 +142,242 @@ def build_scatter_plan(
     weights: np.ndarray,
     num_points: int,
     pair_mask: Optional[np.ndarray] = None,
+    n_shards: int = 1,
 ) -> ScatterPlan:
     """Precompute the chunk-bucketed layout for `idx`/`weights` [..., k].
 
     pair_mask: optional bool array broadcastable to idx's shape — False
     pairs are dropped (e.g. background pixels whose gradient is
     identically zero), shrinking both the gather and the kernel pass.
+
+    n_shards > 1 splits the leading (view) axis into that many groups and
+    builds one sub-plan per group, stacked on axis 0 — the sharded
+    backward runs each group on its mesh "data" shard against its local
+    pixel table and psums the [M, C] partials (planned_segment_sum_sharded).
     """
     idx = np.asarray(idx)
     k = idx.shape[-1]
-    flat = idx.reshape(-1).astype(np.int32, copy=False)
-    w_flat = np.asarray(weights, np.float32).reshape(-1)
-    pair_pos = np.arange(flat.size, dtype=np.int32)
+    if n_shards > 1:
+        assert idx.shape[0] % n_shards == 0, (
+            f"view axis {idx.shape[0]} must divide into {n_shards} shards"
+        )
+    per = idx.shape[0] // n_shards if n_shards > 1 else None
+
+    mask_full = None
     if pair_mask is not None:
-        keep = np.broadcast_to(
-            np.asarray(pair_mask, bool), idx.shape
-        ).reshape(-1)
-        pair_pos = pair_pos[keep]
-        flat = flat[keep]
-        w_flat = w_flat[keep]
+        mask_full = np.broadcast_to(np.asarray(pair_mask, bool), idx.shape)
+    w_full = np.asarray(weights, np.float32)
 
+    parts = []
+    total_pairs = 0
+    pix_per_shard = idx.reshape(-1).size // (k * n_shards)
+    for s in range(n_shards):
+        if n_shards > 1:
+            sl = slice(s * per, (s + 1) * per)
+            idx_s = idx[sl]
+            w_s = np.broadcast_to(w_full, idx.shape)[sl]
+            m_s = mask_full[sl] if mask_full is not None else None
+        else:
+            idx_s, w_s, m_s = idx, np.broadcast_to(w_full, idx.shape), \
+                mask_full
+        flat = idx_s.reshape(-1).astype(np.int32, copy=False)
+        w_flat = w_s.reshape(-1)
+        pix = np.arange(flat.size, dtype=np.int32) // np.int32(k)
+        if m_s is not None:
+            keep = m_s.reshape(-1)
+            flat, w_flat, pix = flat[keep], w_flat[keep], pix[keep]
+        total_pairs += flat.size
+        parts.append(_build_single(flat, w_flat, pix, num_points))
+
+    n_rows = max(p[0].shape[0] for p in parts)
     n_chunks = -(-num_points // CHUNK)
-    chunk_of = (flat // CHUNK).astype(np.int32)
-    chunk_counts = np.bincount(chunk_of, minlength=n_chunks)
-    pb = int(max(int(chunk_counts.max()), 1))
-    pb = -(-pb // PB_SLICE) * PB_SLICE
 
-    # bucket placement: order pairs by chunk, then slot = chunk·PB +
-    # rank-within-chunk. int16 sort keys keep numpy's radix argsort ~40%
-    # faster and everything downstream stays int32 (N < 2^31); all
-    # writes go through flat 1D fancy indexing.
-    sort_keys = (
-        chunk_of.astype(np.int16) if n_chunks < 2 ** 15 else chunk_of
-    )
-    order = np.argsort(sort_keys, kind="stable")
-    chunk_starts = np.zeros(n_chunks + 1, np.int32)
-    np.cumsum(chunk_counts, out=chunk_starts[1:])
-    grouped_chunk = chunk_of[order]
-    slot = grouped_chunk * np.int32(pb)
-    slot += np.arange(flat.size, dtype=np.int32)
-    slot -= chunk_starts[grouped_chunk]
+    def pad(a, fill):
+        r = n_rows - a.shape[0]
+        if r == 0:
+            return a
+        pad_shape = (r,) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
-    pix_id = np.zeros(n_chunks * pb, np.int32)
-    w_pad = np.zeros(n_chunks * pb, np.float32)
-    local = np.full(n_chunks * pb, CHUNK, np.int32)    # pad → matches no row
-    pix_id[slot] = pair_pos[order] // np.int32(k)
-    w_pad[slot] = w_flat[order]
-    local[slot] = flat[order] - grouped_chunk * np.int32(CHUNK)
     return ScatterPlan(
-        pix_id=jnp.asarray(pix_id.reshape(n_chunks, pb)),
-        w=jnp.asarray(w_pad.reshape(n_chunks, pb)),
-        local=jnp.asarray(local.reshape(n_chunks, pb)),
+        pix_id=np.stack([pad(p[0], 0) for p in parts]),
+        w=np.stack([pad(p[1], 0.0) for p in parts]),
+        local=np.stack([pad(p[2], CHUNK) for p in parts]),
+        # padding rows target the last chunk (kept sorted) with zero weight
+        row_chunk=np.stack([pad(p[3], n_chunks - 1) for p in parts]),
         num_points=num_points,
+        n_pixels=pix_per_shard,
+        n_pairs=total_pairs,
     )
 
 
-def _segsum_kernel(channels, packed_ref, out_ref):
-    """One (chunk, slice): out[C, 512] += Σ_p contrib_p[C] ⊗ onehot_p[512].
+def build_batched_scatter_plan(
+    idx: np.ndarray,
+    weights: np.ndarray,
+    num_points: int,
+    pair_mask: Optional[np.ndarray] = None,
+    n_shards: int = 1,
+) -> ScatterPlan:
+    """Combined plan for PER-VIEW point tensors (splat_gather_batched).
 
-    `packed` [8, S] carries the C contribution channels in sublane rows
-    0..C-1 and the pair's in-chunk point id (as f32) in row C — pairs
-    ride the lane axis, so the one-hot compare is a free sublane
-    broadcast and the whole tensor has zero tiling padding. Grid is
-    (n_chunks, pb // PB_SLICE); the slice axis accumulates into the same
-    output block (zeroed on its first visit)."""
-    first = pl.program_id(1) == 0
+    View v's pairs scatter into rows [v·M, (v+1)·M) of a single [V·M, C]
+    output (local view index within a shard when n_shards > 1), so the
+    whole batched-DeepFool backward is ONE kernel pass. The plan's
+    num_points is V_local·M; the caller reshapes to [V, M, C]."""
+    idx = np.asarray(idx)
+    V = idx.shape[0]
+    per = V // max(n_shards, 1)
+    if per * num_points >= 2 ** 31:
+        raise ValueError("V_local·M must fit int32")
+    local_v = (np.arange(V) % per).astype(np.int64)
+    off = (local_v * num_points).reshape(
+        (V,) + (1,) * (idx.ndim - 1)
+    )
+    return build_scatter_plan(
+        (idx.astype(np.int64) + off).astype(np.int32),
+        weights, per * num_points, pair_mask=pair_mask, n_shards=n_shards,
+    )
+
+
+def _segsum_kernel(channels, row_chunk_ref, packed_ref, out_ref):
+    """One plan row: out[C, 512] += Σ_p contrib_p[C] ⊗ onehot_p[512].
+
+    `packed` [8, ROW_PB] carries the C contribution channels in sublane
+    rows 0..C-1 and the pair's in-chunk point id (as f32) in row C —
+    pairs ride the lane axis, so the one-hot compare is a free sublane
+    broadcast and the whole tensor has zero tiling padding. The output
+    block is row_chunk[i] (scalar-prefetch index map): the first row of
+    each chunk zeroes it, later rows of the same chunk accumulate while
+    the block stays resident in VMEM."""
+    i = pl.program_id(0)
+    prev = row_chunk_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, row_chunk_ref[i] != prev)
 
     @pl.when(first)
     def _zero():
         out_ref[0] = jnp.zeros((channels, CHUNK), jnp.float32)
 
-    packed = packed_ref[0]                               # [8, S]
-    c = packed[:channels]                                # [C, S]
-    locf = packed[channels:channels + 1]                 # [1, S]
+    packed = packed_ref[0]                               # [8, ROW_PB]
+    c = packed[:channels]                                # [C, ROW_PB]
+    locf = packed[channels:channels + 1]                 # [1, ROW_PB]
     # tpu.iota is integer-only; the int→f32 convert keeps the compare in
     # f32 against the packed (exactly representable) local ids
     iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK, PB_SLICE), 0
+        jnp.int32, (CHUNK, ROW_PB), 0
     ).astype(jnp.float32)
-    onehot_t = (locf == iota).astype(jnp.float32)        # [512, S]
+    onehot_t = (locf == iota).astype(jnp.float32)        # [512, ROW_PB]
+    # HIGHEST: the one-hot is exact but a single-pass bf16 product would
+    # shave the contribution mantissas (ADVICE r2) — keep segment_sum-class
+    # precision at the cost of extra MXU passes on an already-cheap op
     out_ref[0] += jax.lax.dot_general(
         c, onehot_t, (((1,), (1,)), ((), ())),           # contract pairs
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
 def planned_segment_sum(
     g: jnp.ndarray,             # [n_pixels, C] per-pixel cotangents
-    pix_id: jnp.ndarray,        # [n_chunks, PB]
-    w: jnp.ndarray,             # [n_chunks, PB]
-    local: jnp.ndarray,         # [n_chunks, PB]
+    row_chunk: jnp.ndarray,     # [n_rows]
+    pix_id: jnp.ndarray,        # [n_rows, ROW_PB]
+    w: jnp.ndarray,             # [n_rows, ROW_PB]
+    local: jnp.ndarray,         # [n_rows, ROW_PB]
     num_points: int,
 ) -> jnp.ndarray:
     """d_points [num_points, C] = Σ_pairs w·g[pix_id] grouped by point."""
-    n_chunks, pb = pix_id.shape
+    n_rows, pb = pix_id.shape
     channels = g.shape[-1]
+    n_chunks = -(-num_points // CHUNK)
     # the one random-access op: fetch each pair's pixel cotangent from the
     # pixel-sized table (the fast gather regime). Padding slots point at
     # row 0 but carry w == 0 and local == CHUNK, so they contribute 0.
     # The static pair weight folds in here, and everything is packed into
-    # one [n_chunks, 8, pb] lane-major tensor (pairs on lanes): channels
+    # one [n_rows, 8, ROW_PB] lane-major tensor (pairs on lanes): channels
     # in sublane rows 0..C-1, local id as f32 in row C — the layout has
     # zero T(8,128) tiling padding, unlike any [..., C]-minor variant.
     g_bucketed = jnp.take(
         g, pix_id.reshape(-1), axis=0, mode="clip",
-    ).reshape(n_chunks, pb, channels)
+    ).reshape(n_rows, pb, channels)
     contrib_t = (g_bucketed * w[..., None]).transpose(0, 2, 1)
     locf = local.astype(jnp.float32)[:, None, :]
     pad_rows = 8 - channels - 1
     packed = jnp.concatenate(
         [contrib_t, locf,
-         jnp.zeros((n_chunks, pad_rows, pb), jnp.float32)], axis=1,
+         jnp.zeros((n_rows, pad_rows, pb), jnp.float32)], axis=1,
     )
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((1, 8, pb), lambda i, rc: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, channels, CHUNK), lambda i, rc: (rc[i], 0, 0)
+        ),
+    )
     out = pl.pallas_call(
         functools.partial(_segsum_kernel, channels),
-        grid=(n_chunks, pb // PB_SLICE),
-        in_specs=[
-            pl.BlockSpec((1, 8, PB_SLICE), lambda i, s: (i, 0, s),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, channels, CHUNK), lambda i, s: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks, channels, CHUNK), jnp.float32
         ),
-    )(packed)
+        interpret=_interpret(),
+    )(row_chunk, packed)
     # [n_chunks, C, 512] → [n_chunks·512, C]
     out = out.transpose(0, 2, 1).reshape(n_chunks * CHUNK, channels)
     return out[:num_points]
+
+
+def planned_segment_sum_sharded(
+    g: jnp.ndarray,             # [V, HW, C] view-major pixel cotangents
+    row_chunk: jnp.ndarray,     # [S, n_rows]
+    pix_id: jnp.ndarray,        # [S, n_rows, ROW_PB]
+    w: jnp.ndarray,             # [S, n_rows, ROW_PB]
+    local: jnp.ndarray,         # [S, n_rows, ROW_PB]
+    num_points: int,
+    mesh,
+    axis: str = "data",
+    reduce: bool = True,
+) -> jnp.ndarray:
+    """Mesh-sharded planned segment-sum (SURVEY §5 collectives spec).
+
+    The view axis of `g` and the shard axis of the plan ride the mesh
+    `axis`; every shard reduces its local views' pairs with the Pallas
+    kernel, then the [M, C] partials psum over ICI (reduce=True, the
+    shared-δ attacks) or stay view-local (reduce=False, per-view point
+    tensors — num_points is then V_local·M and the caller reshapes).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    V = g.shape[0]
+    S = int(mesh.shape.get(axis, 1))
+    assert V % S == 0 and row_chunk.shape[0] == S
+
+    g = jax.lax.with_sharding_constraint(
+        g, NamedSharding(mesh, P(axis, None, None))
+    )
+
+    def local_sum(g_l, rc_l, pix_l, w_l, loc_l):
+        out = planned_segment_sum(
+            g_l.reshape(-1, g_l.shape[-1]),
+            rc_l[0], pix_l[0], w_l[0], loc_l[0], num_points,
+        )
+        if reduce:
+            out = jax.lax.psum(out, axis)
+        return out
+
+    specs = P(axis, None, None)
+    return shard_map(
+        local_sum, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None),
+                  specs, specs, specs),
+        out_specs=P() if reduce else P(axis, None),
+        check_vma=False,
+    )(g, row_chunk, pix_id, w, local)

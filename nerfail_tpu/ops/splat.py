@@ -7,14 +7,21 @@ scatter-add of pixel gradients into the point tensor with 8-way index
 collisions (SURVEY.md §7 "hard parts").
 
 Forward: one gather + weighted sum (`jnp.take` + einsum); XLA fuses the
-multiply-accumulate. Backward: we define a custom VJP that computes
-dL/d(points) as a dense one-hot matmul-free `segment_sum` over the flattened
-(pixel, neighbor) pairs — sorted-segment-sum lowers to an efficient
-deterministic scatter on TPU, far better than 5.1M serialized scatter-adds.
+multiply-accumulate. Backward: a custom VJP that computes dL/d(points)
+either as `jax.ops.segment_sum` over the flattened (pixel, neighbor)
+pairs, or — given a host-precomputed `ScatterPlan` — as the chunk-aligned
+Pallas segment-sum (ops/pallas/segsum_kernel), ~6× faster at attack scale.
+
+Every attack treats idx AND w as static tables (they come from the
+precomputed 8-NN neighbor maps), so by default no cotangent is computed
+for w — the d_w gather is another 41M-id pass that all callers discard
+(`static_w=False` restores it). The planned path never produces d_w: a
+caller differentiating w.r.t. weights must use the unplanned path.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -26,33 +33,100 @@ def splat_gather(
     idx: jnp.ndarray,
     w: jnp.ndarray,
     plan=None,
+    mesh=None,
+    static_w: bool = True,
 ):
     """points [M, C], idx [..., k] int32, w [..., k] → [..., C].
 
     out = Σ_j w_j · points[idx_j]
 
-    With a `ScatterPlan` (ops/pallas/segsum_kernel.build_scatter_plan,
-    host-precomputed once per static neighbor table) the backward runs
-    the chunk-aligned Pallas segment-sum instead of XLA's scatter —
-    ~6× faster at attack scale (8×800²×8 pairs). The planned path
-    treats BOTH idx and w as non-differentiable constants (they are
-    static tables in every attack); d/dw comes back as zeros.
+    With a `ScatterPlan` the backward runs the Pallas segment-sum; with a
+    `mesh` as well (plan built with n_shards = mesh data-axis size) the
+    leading (view) axis shards over the mesh and the [M, C] cotangent
+    psums over ICI — the multi-view gradient all-reduce of SURVEY §5.
     """
     if plan is None:
+        if static_w:
+            return _splat_gather_static_w(points, idx, w)
         return _splat_gather(points, idx, w)
-    return _splat_gather_planned(
-        points, idx, w, plan.pix_id, plan.w, plan.local
-    )
+    _check_plan(plan, points.shape[0], idx, mesh)
+    fn = _planned_splat(mesh, reduce=True)
+    return fn(points, idx, w, plan.row_chunk, plan.pix_id, plan.w,
+              plan.local)
 
 
-@jax.custom_vjp
-def _splat_gather(points: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray):
-    return _splat_fwd_impl(points, idx, w)
+def splat_gather_batched(
+    points_b: jnp.ndarray,      # [V, M, C] per-view point tensors
+    idx: jnp.ndarray,           # [V, ..., k]
+    w: jnp.ndarray,             # [V, ..., k]
+    plan=None,                  # from build_batched_scatter_plan
+    mesh=None,
+):
+    """Per-view splat: out[v] = Σ_j w[v]_j · points_b[v][idx[v]_j].
+
+    The batched DeepFool walks every view's own perturbed copy of the
+    point set in one step; its backward is a single combined-plan Pallas
+    pass over the [V·M] output space instead of V separate scatters
+    (idx/w are static — no cotangents)."""
+    if plan is None:
+        return jax.vmap(_splat_gather_static_w)(points_b, idx, w)
+    V, M, C = points_b.shape
+    S = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    expect = (V // S) * M
+    if plan.num_points != expect:
+        raise ValueError(
+            f"batched plan covers {plan.num_points} rows, step needs "
+            f"{expect} (V={V}, M={M}, shards={S}) — stale plan?"
+        )
+    _check_pixels(plan, idx, S)
+    fn = _planned_splat_batched(mesh)
+    return fn(points_b, idx, w, plan.row_chunk, plan.pix_id, plan.w,
+              plan.local)
+
+
+def _check_plan(plan, m, idx, mesh):
+    if plan.num_points != m:
+        raise ValueError(
+            f"plan covers {plan.num_points} points, tensor has {m} — "
+            "stale plan?"
+        )
+    S = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    if plan.n_shards != S:
+        raise ValueError(
+            f"plan has {plan.n_shards} shards, mesh data axis is {S}"
+        )
+    _check_pixels(plan, idx, S)
+
+
+def _check_pixels(plan, idx, n_shards):
+    n_pix = int(idx[..., 0].size) // n_shards
+    if plan.n_pixels != n_pix:
+        raise ValueError(
+            f"plan was built for {plan.n_pixels} pixels/shard, "
+            f"batch has {n_pix} — stale plan?"
+        )
 
 
 def _splat_fwd_impl(points, idx, w):
     gathered = jnp.take(points, idx, axis=0)          # [..., k, C]
     return jnp.sum(w[..., None] * gathered, axis=-2)  # [..., C]
+
+
+def _d_points_segment_sum(g, idx, w, M):
+    C = g.shape[-1]
+    contrib = (w[..., None] * g[..., None, :]).reshape(-1, C)   # [P·k, C]
+    return jax.ops.segment_sum(
+        contrib, idx.reshape(-1), num_segments=M,
+        indices_are_sorted=False,
+    )
+
+
+# ------------------------------------------------- unplanned, d_w computed
+
+
+@jax.custom_vjp
+def _splat_gather(points, idx, w):
+    return _splat_fwd_impl(points, idx, w)
 
 
 def _splat_fwd(points, idx, w):
@@ -61,16 +135,8 @@ def _splat_fwd(points, idx, w):
 
 def _splat_bwd(res, g):
     points, idx, w = res
-    M, C = points.shape
-    k = idx.shape[-1]
-    # d points: scatter-add w_j · g into row idx_j  (the transpose of the
-    # gather — GaussNet's hot backward op)
-    contrib = (w[..., None] * g[..., None, :]).reshape(-1, C)   # [P·k, C]
-    flat_idx = idx.reshape(-1)
-    d_points = jax.ops.segment_sum(
-        contrib, flat_idx, num_segments=M, indices_are_sorted=False
-    )
-    # d w: dot of g with the gathered rows
+    d_points = _d_points_segment_sum(g, idx, w, points.shape[0])
+    # d w: dot of g with the gathered rows (a second pair-count gather)
     gathered = jnp.take(points, idx, axis=0)                    # [..., k, C]
     d_w = jnp.sum(gathered * g[..., None, :], axis=-1)          # [..., k]
     return d_points, None, d_w
@@ -79,27 +145,100 @@ def _splat_bwd(res, g):
 _splat_gather.defvjp(_splat_fwd, _splat_bwd)
 
 
+# ------------------------------------------------- unplanned, static w
+
+
 @jax.custom_vjp
-def _splat_gather_planned(points, idx, w, pix_id, w_pad, local):
+def _splat_gather_static_w(points, idx, w):
     return _splat_fwd_impl(points, idx, w)
 
 
-def _splat_planned_fwd(points, idx, w, pix_id, w_pad, local):
-    out = _splat_fwd_impl(points, idx, w)
-    return out, (points.shape, w, pix_id, w_pad, local)
+def _splat_static_fwd(points, idx, w):
+    return _splat_fwd_impl(points, idx, w), (points.shape[0], idx, w)
 
 
-def _splat_planned_bwd(res, g):
-    from nerfail_tpu.ops.pallas.segsum_kernel import planned_segment_sum
-
-    points_shape, w, pix_id, w_pad, local = res
-    M, C = points_shape
-    d_points = planned_segment_sum(
-        g.reshape(-1, C), pix_id, w_pad, local, M
-    )
-    # w is a static table in every caller; skipping its cotangent avoids
-    # a second 41M-id gather per step (see splat_gather docstring)
-    return d_points, None, jnp.zeros_like(w), None, None, None
+def _splat_static_bwd(res, g):
+    M, idx, w = res
+    return _d_points_segment_sum(g, idx, w, M), None, None
 
 
-_splat_gather_planned.defvjp(_splat_planned_fwd, _splat_planned_bwd)
+_splat_gather_static_w.defvjp(_splat_static_fwd, _splat_static_bwd)
+
+
+# ------------------------------------------------- planned (Pallas backward)
+
+
+@functools.lru_cache(maxsize=None)
+def _planned_splat(mesh, reduce: bool):
+    """custom_vjp splat whose backward is the planned Pallas segment-sum.
+
+    Built per (mesh, reduce) — jax.sharding.Mesh is hashable, and the
+    backward needs the mesh statically for shard_map."""
+
+    @jax.custom_vjp
+    def f(points, idx, w, row_chunk, pix_id, w_pad, local):
+        return _splat_fwd_impl(points, idx, w)
+
+    def fwd(points, idx, w, row_chunk, pix_id, w_pad, local):
+        out = _splat_fwd_impl(points, idx, w)
+        return out, (points.shape, idx.shape, row_chunk, pix_id, w_pad,
+                     local)
+
+    def bwd(res, g):
+        from nerfail_tpu.ops.pallas.segsum_kernel import (
+            planned_segment_sum, planned_segment_sum_sharded,
+        )
+
+        points_shape, idx_shape, row_chunk, pix_id, w_pad, local = res
+        M, C = points_shape
+        if mesh is None:
+            d_points = planned_segment_sum(
+                g.reshape(-1, C), row_chunk[0], pix_id[0], w_pad[0],
+                local[0], M,
+            )
+        else:
+            V = idx_shape[0]
+            d_points = planned_segment_sum_sharded(
+                g.reshape(V, -1, C), row_chunk, pix_id, w_pad, local, M,
+                mesh, reduce=True,
+            )
+        return d_points, None, None, None, None, None, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _planned_splat_batched(mesh):
+    """Per-view-points variant: cotangent stays view-local ([V, M, C])."""
+
+    @jax.custom_vjp
+    def f(points_b, idx, w, row_chunk, pix_id, w_pad, local):
+        return jax.vmap(_splat_fwd_impl)(points_b, idx, w)
+
+    def fwd(points_b, idx, w, row_chunk, pix_id, w_pad, local):
+        out = jax.vmap(_splat_fwd_impl)(points_b, idx, w)
+        return out, (points_b.shape, row_chunk, pix_id, w_pad, local)
+
+    def bwd(res, g):
+        from nerfail_tpu.ops.pallas.segsum_kernel import (
+            planned_segment_sum, planned_segment_sum_sharded,
+        )
+
+        points_shape, row_chunk, pix_id, w_pad, local = res
+        V, M, C = points_shape
+        if mesh is None:
+            flat = planned_segment_sum(
+                g.reshape(-1, C), row_chunk[0], pix_id[0], w_pad[0],
+                local[0], V * M,
+            )
+        else:
+            S = int(mesh.shape.get("data", 1))
+            flat = planned_segment_sum_sharded(
+                g.reshape(V, -1, C), row_chunk, pix_id, w_pad, local,
+                (V // S) * M, mesh, reduce=False,
+            )
+        return (flat.reshape(V, M, C), None, None, None, None, None, None)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -145,6 +145,7 @@ def make_train_step(
     tcfg: TrainConfig,
     precrop: bool,
     mesh=None,
+    debug_numerics: bool = False,
 ) -> Callable:
     """Build the jitted train step for one precrop phase.
 
@@ -156,6 +157,11 @@ def make_train_step(
     "data" axis (DP over rays); combined with tensor-parallel param
     shardings (parallel/shard.py) XLA inserts the grad psum/reduces over
     ICI automatically.
+
+    `debug_numerics` adds a fused NaN/Inf scan over the rendered maps and
+    the loss to the step metrics (the reference's DEBUG contains-nan check,
+    run_nerf.py:414-416) — one extra all-reduce bit, no host sync until the
+    driver reads the metric.
     """
     optimizer = make_optimizer(tcfg)
 
@@ -198,16 +204,44 @@ def make_train_step(
             loss = loss_fine
             if "rgb0" in out:
                 loss = loss + img2mse(out["rgb0"], target)
-            return loss, loss_fine
+            return loss, (loss_fine, out)
 
-        (loss, loss_fine), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
+        (loss, (loss_fine, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "psnr": mse2psnr(loss_fine)}
+        metrics = {"loss": loss, "psnr": mse2psnr(loss_fine)}
+        if debug_numerics:
+            finite = jnp.isfinite(loss)
+            for k in ("rgb_map", "disp_map", "acc_map"):
+                if k in out:
+                    finite &= jnp.all(jnp.isfinite(out[k]))
+            metrics["finite"] = finite
+        return params, opt_state, metrics
 
     return step_fn
+
+
+def dump_run_config(logdir: str, cfg) -> None:
+    """Write `args.txt` (flat `key = value` lines) and `config.json` into
+    the run directory — the reference snapshots its flags and config file
+    per run (run_nerf.py:644-653) so an experiment is reproducible from
+    its log directory alone."""
+    import dataclasses
+    import json
+
+    os.makedirs(logdir, exist_ok=True)
+    d = dataclasses.asdict(cfg)
+    with open(os.path.join(logdir, "args.txt"), "w") as f:
+        for section, values in sorted(d.items()):
+            if isinstance(values, dict):
+                for k, v in sorted(values.items()):
+                    f.write(f"{section}.{k} = {v}\n")
+            else:
+                f.write(f"{section} = {values}\n")
+    with open(os.path.join(logdir, "config.json"), "w") as f:
+        json.dump(d, f, indent=2, default=str)
 
 
 def train_nerf(
@@ -224,6 +258,7 @@ def train_nerf(
     spiral_poses: Optional[np.ndarray] = None,
     ft_path: Optional[str] = None,
     mesh=None,
+    debug_numerics: bool = False,
 ) -> NeRFTrainState:
     """Host driver: auto-resume, jitted steps, periodic checkpoint/render.
 
@@ -240,6 +275,8 @@ def train_nerf(
     """
     mcfg, rcfg, tcfg = cfg.model, cfg.render, cfg.train
     n_iters = n_iters or tcfg.N_iters
+    if logdir:
+        dump_run_config(logdir, cfg)
 
     key = jax.random.PRNGKey(seed)
     state = create_train_state(key, mcfg, rcfg, tcfg)
@@ -281,8 +318,14 @@ def train_nerf(
             mesh, (train_images, train_poses, K_dev)
         )
 
-    step_pre = make_train_step(mcfg, rcfg, tcfg, precrop=True, mesh=mesh)
-    step_main = make_train_step(mcfg, rcfg, tcfg, precrop=False, mesh=mesh)
+    step_pre = make_train_step(
+        mcfg, rcfg, tcfg, precrop=True, mesh=mesh,
+        debug_numerics=debug_numerics,
+    )
+    step_main = make_train_step(
+        mcfg, rcfg, tcfg, precrop=False, mesh=mesh,
+        debug_numerics=debug_numerics,
+    )
     t0 = time.time()
     for i in range(state.step, n_iters):
         step_key = jax.random.fold_in(key, i)
@@ -290,6 +333,14 @@ def train_nerf(
         params, opt_state, metrics = fn(
             params, opt_state, train_images, train_poses, K_dev, step_key
         )
+        if debug_numerics and (i + 1) % tcfg.i_print == 0 \
+                and not bool(metrics["finite"]):
+            # the reference's "! [Numerical Error] contains nan or inf"
+            # (run_nerf.py:414-416), promoted to a hard stop
+            raise FloatingPointError(
+                f"[Numerical Error] render output contains nan/inf at "
+                f"step {i + 1}"
+            )
         if log_fn is not None and (i + 1) % tcfg.i_print == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_s"] = tcfg.i_print / max(time.time() - t0, 1e-9)

@@ -1,0 +1,68 @@
+"""Byte-budgeted device cache for static per-batch attack tables.
+
+The attack engines reuse the same neighbor tables / scatter plans every
+epoch (they are static per batch). Keeping them all device-resident OOMs
+at reference scale (300 views × 800² ⇒ ~19 GB of plans alone — VERDICT
+r2 #1), while re-transferring every step pays the host↔device link per
+step. This cache takes the middle road:
+
+  * entries are pinned on device while the running total stays under
+    `budget_bytes` (first-come, in batch order — batches repeat in the
+    same order every epoch, so FIFO pinning == optimal static placement
+    for a sequential schedule; an LRU would evict everything on each
+    pass and cache nothing);
+  * once the budget is full, further entries stream: `get` returns fresh
+    `jax.device_put` arrays whose transfer is ASYNC — the driver calls
+    `get` for batch i+1 before blocking on batch i's step, so the link
+    overlaps compute.
+
+Small runs (tests, benches, few batches) therefore keep the r2 all-on-
+device speed; full-scale runs are bounded at `budget_bytes` HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Hashable, Tuple
+
+import jax
+import numpy as np
+
+
+def _nbytes(arrays) -> int:
+    return sum(np.asarray(a).nbytes if isinstance(a, np.ndarray) else a.nbytes
+               for a in arrays)
+
+
+class DeviceBudgetCache:
+    """key → tuple of device arrays, pinned while under a byte budget."""
+
+    def __init__(self, budget_bytes: int = 2 << 30):
+        self.budget_bytes = int(budget_bytes)
+        self._pinned: Dict[Hashable, Tuple] = {}
+        self._used = 0
+        self.streamed_gets = 0
+
+    @property
+    def pinned_bytes(self) -> int:
+        return self._used
+
+    def get(self, key: Hashable, build: Callable[[], Tuple]) -> Tuple:
+        """build() returns a tuple of HOST arrays; result is device arrays.
+
+        Transfers are dispatched asynchronously (jax.device_put) — call
+        for the NEXT batch before synchronizing on the current one."""
+        if key in self._pinned:
+            return self._pinned[key]
+        host = tuple(build())
+        size = _nbytes(host)
+        dev = tuple(jax.device_put(a) for a in host)
+        if self._used + size <= self.budget_bytes:
+            self._pinned[key] = dev
+            self._used += size
+        else:
+            self.streamed_gets += 1
+        return dev
+
+    def clear(self):
+        self._pinned.clear()
+        self._used = 0

@@ -135,14 +135,20 @@ class TestIgsmUapResume:
         ref = igsm_2d_attack(ori, labels, logits_fn, cfg,
                              resize_to=None, epochs=3)
         with pytest.raises(Interrupt):
+            # checkpoint_every=1: the bank default is 10 (heavy I/O at real
+            # scale) but resume itself must be exercised here
             igsm_2d_attack(
                 ori, labels, logits_fn, cfg, resize_to=None, epochs=3,
                 checkpoint_path=ckpt, log_fn=raising_log(1),
+                checkpoint_every=1,
             )
+        assert os.path.exists(ckpt)
         res = igsm_2d_attack(ori, labels, logits_fn, cfg,
-                             resize_to=None, epochs=3, checkpoint_path=ckpt)
+                             resize_to=None, epochs=3, checkpoint_path=ckpt,
+                             checkpoint_every=1)
         np.testing.assert_array_equal(res.delta, ref.delta)
         assert not os.path.exists(ckpt)
+        assert not os.path.exists(ckpt + ".best.npz")
 
     def test_uap_resume(self, rng, tmp_path):
         _, _, ori, logits_fn = make_views(rng, 2)

@@ -189,3 +189,80 @@ class TestShardedAttackStep:
         np.testing.assert_allclose(
             float(m1["loss"]), float(m2["loss"]), rtol=1e-5
         )
+
+
+class TestRunConfigDump:
+    def test_args_txt_and_json(self, tmp_path):
+        from nerfail_tpu.config import ExperimentConfig
+        from nerfail_tpu.train.nerf_trainer import dump_run_config
+
+        cfg = ExperimentConfig()
+        dump_run_config(str(tmp_path), cfg)
+        args = (tmp_path / "args.txt").read_text()
+        assert "model.netwidth = 256" in args
+        assert "render.N_samples" in args
+        import json
+
+        d = json.loads((tmp_path / "config.json").read_text())
+        assert d["model"]["netdepth"] == 8
+
+
+class TestDebugNumerics:
+    def test_finite_metric_and_nan_trap(self):
+        from nerfail_tpu.config import (
+            NeRFModelConfig, RenderConfig, TrainConfig,
+        )
+        from nerfail_tpu.train.nerf_trainer import (
+            create_train_state, make_train_step,
+        )
+
+        mcfg = NeRFModelConfig(netdepth=1, netwidth=32, multires=2,
+                               multires_views=2)
+        rcfg = RenderConfig(N_samples=4, N_importance=0, chunk=64)
+        tcfg = TrainConfig(N_rand=16, precrop_iters=0)
+        state = create_train_state(jax.random.PRNGKey(0), mcfg, rcfg, tcfg)
+        step = make_train_step(mcfg, rcfg, tcfg, precrop=False,
+                               debug_numerics=True)
+        H = W = 8
+        images = jnp.zeros((2, H, W, 3), jnp.float32)
+        poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (2, 4, 4))
+        K = jnp.array([[5.0, 0, 4], [0, 5.0, 4], [0, 0, 1]], jnp.float32)
+        _, _, m = step(state.params, state.opt_state, images, poses, K,
+                       jax.random.PRNGKey(1))
+        assert bool(m["finite"])
+
+        # poison a weight → the scan must flag it
+        bad = dict(state.params)
+        bad["coarse"] = dict(state.params["coarse"])
+        bad["coarse"]["pts_0_w"] = state.params["coarse"]["pts_0_w"] * jnp.nan
+        _, _, m = step(bad, state.opt_state, images, poses, K,
+                       jax.random.PRNGKey(1))
+        assert not bool(m["finite"])
+
+
+class TestCheckpointFingerprint:
+    def test_mismatched_fingerprint_discarded(self, tmp_path):
+        import warnings
+
+        from nerfail_tpu.attacks.checkpoint import (
+            load_attack_state, save_attack_state,
+        )
+
+        p = str(tmp_path / "state.npz")
+        save_attack_state(p, {"delta": np.zeros(3)}, {"epoch": 4},
+                          fingerprint={"n_views": 8, "eps": 32.0})
+        # matching fingerprint loads
+        arrays, meta = load_attack_state(
+            p, fingerprint={"n_views": 8, "eps": 32.0})
+        assert meta["epoch"] == 4 and "__fingerprint__" not in meta
+        # mismatched fingerprint is discarded with a warning
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = load_attack_state(p, fingerprint={"n_views": 9, "eps": 32.0})
+        assert out is None and any("different run" in str(r.message)
+                                   for r in rec)
+        # legacy checkpoint without a fingerprint still loads
+        save_attack_state(p, {"delta": np.zeros(3)}, {"epoch": 7})
+        arrays, meta = load_attack_state(
+            p, fingerprint={"n_views": 8, "eps": 32.0})
+        assert meta["epoch"] == 7

@@ -92,3 +92,95 @@ class TestNDCTraining:
         base_mse = float(np.mean((test_imgs - test_imgs.mean()) ** 2))
         base_psnr = -10.0 * np.log10(base_mse)
         assert psnr > base_psnr + 4.0, (psnr, base_psnr)
+
+
+class TestPoseMath:
+    """Unit tests for the rewritten [N, 3, 4] pose helpers."""
+
+    def test_camera_frame_orthonormal_right_handed(self):
+        from nerfail_tpu.data.llff import camera_frame
+
+        rng = np.random.default_rng(3)
+        back = rng.standard_normal((5, 3))
+        up = rng.standard_normal((5, 3))
+        pos = rng.standard_normal((5, 3))
+        f = camera_frame(back, up, pos)
+        assert f.shape == (5, 3, 4)
+        R = f[..., :3]
+        np.testing.assert_allclose(
+            R @ np.swapaxes(R, -1, -2), np.broadcast_to(np.eye(3), (5, 3, 3)),
+            atol=1e-6,
+        )
+        # right-handed: x × y = z, and z is the normalized 'back' input
+        np.testing.assert_allclose(
+            np.cross(R[:, :, 0], R[:, :, 1]), R[:, :, 2], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            R[:, :, 2], back / np.linalg.norm(back, axis=-1, keepdims=True),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(f[..., 3], pos, atol=1e-12)
+
+    def test_recenter_maps_average_to_identity(self):
+        from nerfail_tpu.data.llff import average_pose, recenter_poses
+
+        rng = np.random.default_rng(4)
+        back = rng.standard_normal((8, 3)) + np.array([0, 0, 3.0])
+        pos = rng.standard_normal((8, 3))
+        from nerfail_tpu.data.llff import camera_frame
+
+        poses = camera_frame(back, np.array([0, 1.0, 0]), pos)
+        rec = recenter_poses(poses)
+        avg = average_pose(rec)
+        np.testing.assert_allclose(avg[:, :3], np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(avg[:, 3], 0.0, atol=1e-5)
+
+    def test_spiral_path_looks_at_focus(self):
+        from nerfail_tpu.data.llff import spiral_path
+
+        c2w = np.concatenate([np.eye(3), np.zeros((3, 1))], -1)
+        rads = np.array([0.5, 0.4, 0.1])
+        focal = 2.0
+        path = spiral_path(c2w, np.array([0, 1.0, 0]), rads, focal, n=16)
+        assert path.shape == (16, 3, 4)
+        target = np.array([0, 0, -focal])
+        back = path[:, :, 3] - target
+        back /= np.linalg.norm(back, axis=-1, keepdims=True)
+        np.testing.assert_allclose(path[:, :, 2], back, atol=1e-6)
+        # orbit respects the per-axis radii in the central frame
+        assert np.abs(path[:, 0, 3]).max() <= rads[0] + 1e-6
+        assert np.abs(path[:, 1, 3]).max() <= rads[1] + 1e-6
+
+    def test_nearest_point_to_rays(self):
+        from nerfail_tpu.data.llff import _nearest_point_to_rays
+
+        # rays through a common point from random directions
+        rng = np.random.default_rng(5)
+        pt = np.array([0.3, -0.2, 1.1])
+        dirs = rng.standard_normal((12, 3))
+        origins = pt - dirs * rng.uniform(1, 3, (12, 1))
+        got = _nearest_point_to_rays(origins, dirs)
+        np.testing.assert_allclose(got, pt, atol=1e-6)
+
+    def test_spherify_unit_radius_and_lookat(self):
+        from nerfail_tpu.data.llff import camera_frame, spherify_poses
+
+        rng = np.random.default_rng(6)
+        theta = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+        pos = np.stack(
+            [3 * np.cos(theta) + 0.5, 3 * np.sin(theta) - 0.2,
+             0.4 + 0.05 * rng.standard_normal(10)], -1,
+        )
+        center = np.array([0.5, -0.2, 0.4])
+        poses = camera_frame(pos - center, np.array([0, 0, 1.0]), pos)
+        bds = np.broadcast_to([2.0, 6.0], (10, 2))
+        reset, render, bds2 = spherify_poses(poses, bds)
+        # mean camera distance from the new origin ≈ 1
+        rad = np.sqrt(np.mean(np.sum(reset[:, :, 3] ** 2, -1)))
+        np.testing.assert_allclose(rad, 1.0, atol=1e-6)
+        # render cameras look at the origin (back axis ∥ position)
+        back = render[:, :, 2]
+        posr = render[:, :, 3]
+        posn = posr / np.linalg.norm(posr, axis=-1, keepdims=True)
+        np.testing.assert_allclose(back, posn, atol=1e-6)
+        np.testing.assert_allclose(bds2, bds / 3.0, rtol=0.05)

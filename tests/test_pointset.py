@@ -66,7 +66,9 @@ class TestSplat:
         jp, ji, jw = jnp.asarray(pts), jnp.asarray(idx), jnp.asarray(w)
 
         def loss_custom(p, ww):
-            return jnp.sum(splat_gather(p, ji, ww) ** 2)
+            # static_w=False: full cotangents (the default skips d_w — every
+            # attack treats the weight table as a constant)
+            return jnp.sum(splat_gather(p, ji, ww, static_w=False) ** 2)
 
         def loss_auto(p, ww):
             return jnp.sum(_splat_fwd_impl(p, ji, ww) ** 2)
@@ -75,3 +77,19 @@ class TestSplat:
         gp_a, gw_a = jax.grad(loss_auto, argnums=(0, 1))(jp, jw)
         np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a), rtol=1e-4, atol=1e-5)
+
+    def test_default_path_skips_w_cotangent(self, rng):
+        """The hot path returns d_points only; d_w comes back as zeros."""
+        pts = rng.standard_normal((16, 4)).astype(np.float32)
+        idx = rng.integers(0, 16, (4, 5, 8)).astype(np.int32)
+        w = rng.uniform(0, 1, (4, 5, 8)).astype(np.float32)
+        jp, ji, jw = jnp.asarray(pts), jnp.asarray(idx), jnp.asarray(w)
+
+        def loss(p, ww):
+            return jnp.sum(splat_gather(p, ji, ww) ** 2)
+
+        gp, gw = jax.grad(loss, argnums=(0, 1))(jp, jw)
+        gp_a = jax.grad(lambda p: jnp.sum(_splat_fwd_impl(p, ji, jw) ** 2))(jp)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_a),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gw), 0.0)
