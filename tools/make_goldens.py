@@ -226,10 +226,75 @@ def main():
     out["gauss/ori_logits"] = ori_cla.detach().numpy()
     out["gauss/grad"] = g.numpy()
 
+    # ---- 5. classifier logits: vendored InceptionResNetV2 ----------------
+    # (model/IncResv2.py:34-380 — the only reference classifier whose torch
+    # source ships with the repo; torchvision is absent in this image, so
+    # the torchvision-backed zoo entries have no executable reference.)
+    # Weights are filled from a deterministic numpy RNG keyed only on each
+    # tensor's KIND, so the test suite regenerates them from the flax
+    # model's own (kind, shape) sequence without needing the reference —
+    # any order/shape divergence breaks the regeneration and is caught.
+    from model.IncResv2 import InceptionResNetV2 as TorchIncResV2
+
+    net = TorchIncResV2(num_classes=8)
+    net.eval()
+    rng = np.random.default_rng(7)
+    sd = net.state_dict()
+    kinds = []
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        kind = classify_torch_tensor(k, v.shape)
+        kinds.append([kind, list(v.shape)])
+        sd[k] = torch.tensor(fill_tensor(rng, kind, tuple(v.shape)))
+    net.load_state_dict(sd)
+    # full 299² — the reference's fixed AvgPool2d(8) tail needs the real
+    # input size, and it exercises every stage at its true resolution
+    x = rng.uniform(0, 255, (1, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        logits = net(
+            torch.tensor((x / 127.5 - 1.0).transpose(0, 3, 1, 2))
+        ).numpy()
+    import json
+
+    out["incresv2/input"] = x
+    out["incresv2/logits"] = logits
+    out["incresv2/kinds_json"] = np.frombuffer(
+        json.dumps(kinds).encode(), dtype=np.uint8
+    )
+
     path = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
     print(f"wrote {len(out)} golden arrays to {path}")
+
+
+def classify_torch_tensor(name: str, shape) -> str:
+    """Torch state_dict entry → kind label shared with
+    nerfail_tpu.models.classifiers.torch_import.torch_tensor_shapes."""
+    if name.endswith("running_mean"):
+        return "bn_mean"
+    if name.endswith("running_var"):
+        return "bn_var"
+    if len(shape) == 4:
+        return "conv_kernel"
+    if len(shape) == 2:
+        return "dense_kernel"
+    if ".bn." in name:
+        return "bn_scale" if name.endswith(".weight") else "bn_bias"
+    return "dense_bias" if "linear" in name else "conv_bias"
+
+
+def fill_tensor(rng: np.ndarray, kind: str, shape) -> np.ndarray:
+    """Deterministic per-kind weight fill — MUST stay in sync with
+    tests/test_classifier_parity.py's regeneration."""
+    if kind in ("bn_var", "bn_scale"):
+        return rng.uniform(0.5, 1.5, shape).astype(np.float32)
+    if kind == "bn_mean":
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+    if kind.endswith("_kernel"):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+    return (rng.standard_normal(shape) * 0.02).astype(np.float32)
 
 
 if __name__ == "__main__":
