@@ -19,6 +19,13 @@ Exact semantics preserved:
             rot   += dr
             δ      = clamp(δ₀ + overshoot·rot, −255, 255), alpha restored
   returns:  total delta = δ_final − δ₀ (deepfool.py:109-111)
+
+Coverage note: the reference also contains `deepfool_2D_universal`
+(deepfool.py:114-190), a near-verbatim copy of `deepfool` with the 2-tuple
+input baked in. None of the four attack scripts call it (verified:
+attack_*.py import only `deepfool`), so it is deliberately NOT ported —
+`deepfool`/`deepfool_batch` with a 2D-shaped δ and preserve_alpha=False
+cover its semantics (attacks/uap2d.py uses exactly that).
 """
 
 from __future__ import annotations

@@ -36,7 +36,24 @@ def _ray_box(o: np.ndarray, d: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return tmin, hit
 
 
-def _shade(o: np.ndarray, d: np.ndarray) -> np.ndarray:
+def class_palette(variant: int = 0) -> np.ndarray:
+    """Six face colors for scene-class `variant`. variant=0 is the
+    original palette; others draw distinct colors from a per-variant RNG —
+    the analogue of the reference's 8 nerf_synthetic object classes
+    (SCENE_CLASSES) for classifier train/attack demos."""
+    if variant == 0:
+        return np.array(
+            [
+                [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9],
+                [0.9, 0.9, 0.2], [0.9, 0.2, 0.9], [0.2, 0.9, 0.9],
+            ],
+            np.float32,
+        )
+    rng = np.random.default_rng(1000 + variant)
+    return rng.uniform(0.15, 0.95, (6, 3)).astype(np.float32)
+
+
+def _shade(o: np.ndarray, d: np.ndarray, variant: int = 0) -> np.ndarray:
     """RGBA [N,4] in [0,1]: face-colored box, transparent background."""
     t, hit = _ray_box(o, d)
     p = o + t[..., None] * d
@@ -44,13 +61,7 @@ def _shade(o: np.ndarray, d: np.ndarray) -> np.ndarray:
     rel = (p - (BOX_MIN + BOX_MAX) / 2) / ((BOX_MAX - BOX_MIN) / 2)
     axis = np.argmax(np.abs(rel), axis=-1)
     sign = np.take_along_axis(np.sign(rel), axis[..., None], axis=-1)[..., 0]
-    palette = np.array(
-        [
-            [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9],
-            [0.9, 0.9, 0.2], [0.9, 0.2, 0.9], [0.2, 0.9, 0.9],
-        ],
-        np.float32,
-    )
+    palette = class_palette(variant)
     face = axis * 2 + (sign > 0).astype(np.int64)
     rgb = palette[face]
     # cheap lambert-ish shading along view dir for texture
@@ -68,8 +79,12 @@ def make_box_scene(
     W: int = 64,
     radius: float = 4.0,
     seed: int = 0,
+    variant: int = 0,
 ) -> BlenderScene:
-    """A BlenderScene with analytic ground-truth images (RGBA in [0,1])."""
+    """A BlenderScene with analytic ground-truth images (RGBA in [0,1]).
+
+    `variant` selects the face palette (class_palette) — distinct variants
+    act as distinct scene classes for classifier training/attack demos."""
     rng = np.random.default_rng(seed)
     camera_angle_x = 0.6911112070083618  # lego's fov
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
@@ -87,7 +102,7 @@ def make_box_scene(
     images = np.zeros((n_total, H, W, 4), np.float32)
     for i in range(n_total):
         o, d = get_rays_np(H, W, K, poses[i])
-        rgba = _shade(o.reshape(-1, 3), d.reshape(-1, 3))
+        rgba = _shade(o.reshape(-1, 3), d.reshape(-1, 3), variant)
         images[i] = rgba.reshape(H, W, 4)
 
     i_split = [
@@ -104,6 +119,21 @@ def make_box_scene(
         focal=float(focal),
         i_split=i_split,
     )
+
+
+def analytic_coord_map(
+    pose: np.ndarray, H: int, W: int, K: np.ndarray, miss_t: float = 4.0,
+) -> np.ndarray:
+    """Exact per-pixel 3D surface coordinates [H, W, 3] for the box scene —
+    the ground-truth analogue of the renderer's `pts_max` output, letting
+    point-set/attack pipelines run without training a NeRF first. Rays
+    that miss the box get the point at t = miss_t."""
+    o, d = get_rays_np(H, W, K, pose)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    t, hit = _ray_box(o, d)
+    t = np.where(hit, t, miss_t)
+    return (o + t[:, None] * d).reshape(H, W, 3).astype(np.float32)
 
 
 def make_forward_scene(

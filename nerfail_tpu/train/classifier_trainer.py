@@ -114,8 +114,13 @@ def train_classifier(
     logdir: Optional[str] = None,
     log_fn: Optional[Callable] = None,
     aux_weight: float = 0.4,
+    optimizer: Optional[optax.GradientTransformation] = None,
 ) -> ClassifierState:
-    optimizer = optax.sgd(lr, momentum=momentum)
+    """`optimizer` overrides the reference-parity SGD(momentum=.9)
+    (model_train.py:148-152) — e.g. optax.adam for quickly-converging
+    demo/test classifiers."""
+    if optimizer is None:
+        optimizer = optax.sgd(lr, momentum=momentum)
     key = jax.random.PRNGKey(seed)
     state = init_classifier(model, key, images.shape[1], optimizer)
     step_fn = make_classifier_train_step(model, optimizer, aux_weight)

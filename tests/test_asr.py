@@ -1,0 +1,139 @@
+"""End-to-end attack success on a TRAINED classifier (VERDICT r2 #4).
+
+The reference's acceptance criterion is attack success rate on a trained
+model (model_test.py:359-377): clean accuracy ≈ 1 on the target class,
+attacked accuracy ≈ 0. Every other attack test in this suite drives a toy
+linear classifier; this one trains SimpleCNN to (near-)perfect validation
+accuracy on 8 procedural box-scene classes, then runs NeRFail-S to
+completion against class 0 and asserts the reference's acceptance
+semantics. Point sets come from the analytic ground-truth surface
+(data/synthetic.analytic_coord_map) — the exact quantity `pts_max`
+approximates — so the test isolates the attack path from NeRF fitting.
+
+The full-resolution variant of this pipeline (NeRF-trained coord maps,
+inception at 299², reference epochs) runs on TPU via tools/asr_demo.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nerfail_tpu.config import AttackConfig
+from nerfail_tpu.attacks.forward import (
+    make_classifier_logits_fn, splat_attack_forward, white_composite_255,
+    zero_init_mask,
+)
+from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
+from nerfail_tpu.data.synthetic import analytic_coord_map, make_box_scene
+from nerfail_tpu.eval.harness import evaluate_attack
+from nerfail_tpu.models.classifiers.simple_cnn import SimpleCNN
+from nerfail_tpu.pointset.knn_build import build_index_and_dist
+from nerfail_tpu.pointset.weights import gauss_weights
+from nerfail_tpu.train.classifier_trainer import (
+    make_classifier_eval_fn, train_classifier,
+)
+
+H = W = 64
+N_CLASSES = 8
+N_TRAIN_VIEWS = 12
+N_VAL_VIEWS = 3
+
+
+def white255(images):
+    """RGBA [*,H,W,4] in [0,1] → white-composited RGB 0-255."""
+    rgb = images[..., :3] * 255.0
+    return np.where(images[..., 3:] > 0, rgb, 255.0).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_nerfail_s_fools_trained_classifier(tmp_path):
+    # ---- 1. train SimpleCNN on 8 box-scene classes --------------------
+    scenes = [
+        make_box_scene(n_train=N_TRAIN_VIEWS, n_val=N_VAL_VIEWS, n_test=0,
+                       H=H, W=W, seed=100 + c, variant=c)
+        for c in range(N_CLASSES)
+    ]
+    tr_x = np.concatenate(
+        [white255(s.images[s.i_split[0]]) for s in scenes]
+    )
+    tr_y = np.repeat(np.arange(N_CLASSES), N_TRAIN_VIEWS)
+    va_x = np.concatenate(
+        [white255(s.images[s.i_split[1]]) for s in scenes]
+    )
+    va_y = np.repeat(np.arange(N_CLASSES), N_VAL_VIEWS)
+
+    import optax
+
+    model = SimpleCNN(num_classes=N_CLASSES)
+    hist = []
+    state = train_classifier(
+        model, tr_x, tr_y, va_x, va_y, epochs=40, batch_size=16,
+        optimizer=optax.adam(1e-3),     # SGD(.9) needs reference-scale
+        log_fn=lambda e, m: hist.append(m),  # data/epochs to converge
+    )
+    val_acc = hist[-1]["val_acc"]
+    assert val_acc >= 0.9, f"classifier failed to train: val_acc={val_acc}"
+
+    logits_fn = make_classifier_logits_fn(model, state.params, state.extra)
+
+    # ---- 2. point set + neighbor tables from analytic geometry --------
+    target = scenes[0]
+    mask_views = [0, 2, 4, 6, 8, 10]             # p=6 base mask images
+    S = np.concatenate([
+        analytic_coord_map(target.poses[v], H, W, target.K).reshape(-1, 3)
+        for v in mask_views
+    ])
+    attack_views = list(range(N_TRAIN_VIEWS))
+    wts, idxs = [], []
+    # c scales with the pixel surface footprint (reference c=0.02 at 800²)
+    c = 0.02 * 800.0 / H
+    for v in attack_views:
+        cm = analytic_coord_map(target.poses[v], H, W, target.K)
+        d, i8 = build_index_and_dist(cm, jnp.asarray(S), k=8)
+        wts.append(np.asarray(gauss_weights(jnp.asarray(d), c=c)))
+        idxs.append(i8.astype(np.int32))
+    wts = np.stack(wts)
+    idxs = np.stack(idxs)
+
+    ori_rgba = np.concatenate(
+        [target.images[attack_views][..., :3] * 255.0,
+         target.images[attack_views][..., 3:] * 255.0], axis=-1,
+    ).astype(np.float32)
+    labels = np.zeros(len(attack_views), np.int64)
+
+    # clean sanity: the classifier must recognize the target class views
+    clean = white255(target.images[attack_views])
+    preds = np.argmax(np.asarray(logits_fn(jnp.asarray(clean))), -1)
+    clean_acc = float(np.mean(preds == 0))
+    assert clean_acc >= 0.9, f"clean acc {clean_acc}"
+
+    # ---- 3. NeRFail-S to completion ------------------------------------
+    delta0 = np.asarray(zero_init_mask(jnp.asarray(
+        ori_rgba[mask_views]
+    )))
+    cfg = AttackConfig(eps=64.0, a=4.0, batch_size=6, attack_epochs=60)
+    res = nerfail_s_attack(
+        delta0, wts, idxs, ori_rgba, labels, logits_fn, cfg,
+        resize_to=None,
+    )
+
+    # ---- 4. reference acceptance semantics (model_test.py:359-377) ----
+    out = splat_attack_forward(
+        jnp.asarray(res.delta).reshape(-1, 4), jnp.asarray(wts),
+        jnp.asarray(idxs), jnp.asarray(ori_rgba), logits_fn,
+        eps=cfg.eps, resize_to=None,
+    )
+    attacked = np.asarray(white_composite_255(
+        out["attacked_rgba"][..., :3], out["attacked_rgba"][..., 3:]
+    ))
+    report = evaluate_attack(
+        lambda x: logits_fn(jnp.asarray(x)), attacked, clean,
+        true_label=0, num_classes=N_CLASSES,
+    )
+    assert report["clean_acc_target_class"] >= 0.9
+    assert report["asr"] >= 0.9, f"ASR too low: {report}"
+    # perturbation stayed within the ε budget (loose bound: composite
+    # clipping keeps pixels in range; e_max measured in 0-255 space)
+    assert report["e_max"] <= cfg.eps + 1e-3, report["e_max"]
