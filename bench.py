@@ -177,16 +177,24 @@ def bench_attack(n_views: int = 8, H: int = 800, iters: int = 10):
     return iters / (time.perf_counter() - t0)
 
 
-def bench_deepfool(n_views: int = 8, H: int = 800, df_iters: int = 3):
+def bench_deepfool(n_views: int = 4, H: int = 800, df_iters: int = 3):
     """Batched NeRFail/DeepFool iteration rate at attack scale: one
-    iteration = forward + C=8 batched class pullbacks (each crossing the
-    splat backward via the combined-plan Pallas segment-sum) + the
-    per-view step math, for all 8×800² views simultaneously.
+    iteration = forward + C=8 batched classifier pullbacks + n_cls/2 + 1
+    multi-channel Pallas plan walks (norms in-kernel, chosen-class gdiff)
+    + the per-view step math, for n_views 800² views simultaneously.
+
+    view_batch=4 on one 16 GB v5e: the per-iteration pixel-cotangent
+    stack is ~80 MB/view/class logical, and XLA's layout assignment pads
+    one transpose intermediate 16× — at V=8 that single temp is 9.8 GB
+    and the program doesn't fit; at V=4 everything fits with room. The
+    NeRFail driver exposes the same knob (cfg.view_batch); throughput
+    reported per batched iteration.
 
     The margin setup (large m1 on the clean label) guarantees no view
     flips, so every view runs exactly df_iters iterations — the measured
     rate is the attack's sustained inner-loop speed (VERDICT r2 #2:
-    the r2 unplanned path cost ~18 s/iteration at this scale)."""
+    the r2 unplanned XLA-scatter path cost ~18 s/iteration and OOMed
+    outright at the full jacobian)."""
     import jax
     import jax.numpy as jnp
 

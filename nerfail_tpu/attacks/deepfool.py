@@ -151,7 +151,7 @@ def deepfool(
     jax.jit,
     static_argnames=(
         "logits_fn_b", "num_classes", "max_iter", "targeted",
-        "preserve_alpha",
+        "preserve_alpha", "jac_engine",
     ),
 )
 def deepfool_batch(
@@ -166,6 +166,7 @@ def deepfool_batch(
     targeted: bool = False,
     target_label: int = 0,
     preserve_alpha: bool = True,
+    jac_engine: Optional[Callable] = None,
 ) -> DeepFoolResult:
     """All V views walk margin-DeepFool simultaneously from one δ₀.
 
@@ -177,6 +178,14 @@ def deepfool_batch(
     Per-view semantics are identical to `deepfool` (verified by
     tests/test_attacks): each view stops on its own label flip and its
     rot is the view's total delta.
+
+    `jac_engine` (static) overrides the generic vjp jacobian with a
+    memory-lean producer: δ_b [V, *δ], ori_label [V] →
+    (logits [V, C], sq [V, C] = ‖∇(logit_k − logit_ori)‖², pick)
+    where pick(k [V]) → gdiff [V, *δ] for each view's chosen class.
+    The planned attack path supplies ops/splat.splat_deepfool_engine,
+    which never materializes the [C, V, *δ] jacobian (8 GB at reference
+    scale) — two Pallas plan walks per iteration total.
     """
     V = ori_logits_b.shape[0]
     ori_label = jnp.argmax(ori_logits_b, axis=-1)               # [V]
@@ -200,13 +209,31 @@ def deepfool_batch(
 
     def body(carry):
         delta_b, rot_b, i, done, _ = carry
-        logits_b, pullback = jax.vjp(logits_fn_b, delta_b)
-        # jac[c, v, ...] = ∂logits[v, c]/∂δ_b[v] — one batched pullback per
-        # class (cross-view derivatives are zero by construction)
-        jac = jax.vmap(
-            lambda e: pullback(jnp.broadcast_to(e, (V, num_classes)))[0]
-        )(jnp.eye(num_classes, dtype=logits_b.dtype))   # [C, V, *δ]
-        jacf = jac.reshape(num_classes, V, -1)
+        if jac_engine is not None:
+            logits_b, sq, pick = jac_engine(delta_b, ori_label)
+        else:
+            logits_b, pullback = jax.vjp(logits_fn_b, delta_b)
+            # jac[c, v, ...] = ∂logits[v, c]/∂δ_b[v] — one batched pullback
+            # per class (cross-view derivatives are zero by construction)
+            jac = jax.vmap(
+                lambda e: pullback(jnp.broadcast_to(e, (V, num_classes)))[0]
+            )(jnp.eye(num_classes, dtype=logits_b.dtype))   # [C, V, *δ]
+            jacf = jac.reshape(num_classes, V, -1)
+            # ‖∇k − ∇ori‖² without materializing the [C, V, *δ]
+            # difference: ‖a−b‖² = ‖a‖² − 2⟨a,b⟩ + ‖b‖²
+            jac_ori = jnp.take_along_axis(
+                jacf, ori_label[None, :, None], axis=0
+            )[0]                                                # [V, D]
+            nk = jnp.sum(jacf * jacf, axis=-1).T                # [V, C]
+            cross = jnp.einsum("cvd,vd->vc", jacf, jac_ori)
+            n_ori = jnp.sum(jac_ori * jac_ori, axis=-1)         # [V]
+            sq = jnp.maximum(nk - 2.0 * cross + n_ori[:, None], 0.0)
+
+            def pick(k):
+                jac_k = jnp.take_along_axis(
+                    jacf, k[None, :, None], axis=0
+                )[0]
+                return jac_k - jac_ori
 
         is_done = flipped(logits_b)
         active = jnp.logical_and(jnp.logical_not(done),
@@ -218,16 +245,6 @@ def deepfool_batch(
             logits_b, ori_label[:, None], axis=-1
         )                                                       # [V, 1]
         f = logits_b - ori_logit - m2                           # [V, C]
-        # ‖∇k − ∇ori‖² without materializing the [C, V, *δ] difference:
-        # ‖a−b‖² = ‖a‖² − 2⟨a,b⟩ + ‖b‖² (saves a jac-sized buffer at the
-        # attack's [8, 8, 1.92M, 4] scale)
-        jac_ori = jnp.take_along_axis(
-            jacf, ori_label[None, :, None], axis=0
-        )[0]                                                    # [V, D]
-        nk = jnp.sum(jacf * jacf, axis=-1).T                    # [V, C]
-        cross = jnp.einsum("cvd,vd->vc", jacf, jac_ori)
-        n_ori = jnp.sum(jac_ori * jac_ori, axis=-1)             # [V]
-        sq = jnp.maximum(nk - 2.0 * cross + n_ori[:, None], 0.0)
         value = jnp.abs(f) / (jnp.sqrt(sq) + 1e-4)              # [V, C]
         if targeted:
             k = jnp.full((V,), target_label, jnp.int32)
@@ -238,8 +255,7 @@ def deepfool_batch(
             )
             k = jnp.argmin(value, axis=-1)                      # [V]
 
-        jac_k = jnp.take_along_axis(jacf, k[None, :, None], axis=0)[0]
-        gdiff_k = (jac_k - jac_ori).reshape((V,) + delta0.shape)
+        gdiff_k = pick(k).reshape((V,) + delta0.shape)
         f_k = jnp.take_along_axis(f, k[:, None], axis=-1)[:, 0]
         sq_k = jnp.take_along_axis(sq, k[:, None], axis=-1)[:, 0]
         scale = jnp.abs(f_k) / (sq_k + 1e-4)                    # [V]

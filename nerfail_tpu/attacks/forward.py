@@ -121,6 +121,23 @@ def splat_attack_forward(
         splat = splat_gather(
             point_rgba, idx, weights, plan=plan, mesh=mesh
         )                                                      # [B,H,W,4]
+    out = composite_after_splat(splat, ori_img, eps=eps)
+    cla_ori = white_composite_255(ori_img[..., :3], ori_img[..., 3:4])
+    out["splat"] = splat
+    out["logits"] = logits_fn(resize_batch(out.pop("cla_x"), resize_to))
+    out["ori_logits"] = logits_fn(resize_batch(cla_ori, resize_to))
+    return out
+
+
+def composite_after_splat(
+    splat: jnp.ndarray,          # [B, H, W, 4] splatted perturbation
+    ori_img: jnp.ndarray,        # [B, H, W, 4] clean RGBA (0-255)
+    eps: Optional[float] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Everything between the splat output and the classifier input
+    (GaussNet.py:85-154) — split out so the batched-DeepFool jacobian can
+    pull back through this head alone (ops/splat.splat_logits_and_jacobian)
+    and run ONE multi-channel planned segment-sum for all classes."""
     alpha = splat[..., 3:4] / 255.0
     ori_alpha = ori_img[..., 3:4]
 
@@ -136,16 +153,9 @@ def splat_attack_forward(
     x_rgba = jnp.clip(
         jnp.concatenate([x_rgb, ori_alpha], axis=-1), 0.0, 255.0
     )
-
-    cla_x = white_composite_255(x_rgba[..., :3], ori_alpha)
-    cla_ori = white_composite_255(ori_img[..., :3], ori_alpha)
-    logits = logits_fn(resize_batch(cla_x, resize_to))
-    ori_logits = logits_fn(resize_batch(cla_ori, resize_to))
     return {
-        "splat": splat,
         "attacked_rgba": x_rgba,
-        "logits": logits,
-        "ori_logits": ori_logits,
+        "cla_x": white_composite_255(x_rgba[..., :3], ori_alpha),
         "eps_min": eps_stats[0],
         "eps_max": eps_stats[1],
     }

@@ -188,7 +188,14 @@ def load_llff_data(
     recenter: bool = True,
     bd_factor: float = 0.75,
     spherify: bool = False,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+    path_zflat: bool = False,
 ) -> LLFFScene:
+    """`width`/`height` override `factor` by deriving it from the source
+    resolution (the reference's _minify resolution targets,
+    load_llff.py:77-87); `path_zflat` flattens the spiral render path to a
+    single half-length rotation at fixed z (load_llff.py:291-298)."""
     poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
     raw = poses_arr[:, :-2].reshape([-1, 3, 5])             # [N, 3, 5]
     bds = poses_arr[:, -2:].astype(np.float32)              # [N, 2]
@@ -198,6 +205,11 @@ def load_llff_data(
         f for f in os.listdir(imgdir)
         if f.lower().endswith(("jpg", "jpeg", "png"))
     )
+    first = _imread(os.path.join(imgdir, img_files[0]))
+    if height is not None:
+        factor = max(int(round(first.shape[0] / float(height))), 1)
+    elif width is not None:
+        factor = max(int(round(first.shape[1] / float(width))), 1)
     imgs = []
     for f in img_files:
         im = _imread(os.path.join(imgdir, f))[..., :3]
@@ -233,8 +245,17 @@ def load_llff_data(
         dt = 0.75
         path_focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
         rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+        rots, n_path = 2.0, 120
+        if path_zflat:
+            # flat half-orbit at a slightly backed-off z
+            # (load_llff.py:291-298)
+            c2w = c2w.copy()
+            c2w[:3, 3] -= close_depth * 0.1 * c2w[:3, 2]
+            rads = rads.copy()
+            rads[2] = 0.0
+            rots, n_path = 1.0, 60
         render_poses = spiral_path(
-            c2w, up, rads, path_focal, zrate=0.5, rots=2, n=120,
+            c2w, up, rads, path_focal, zrate=0.5, rots=rots, n=n_path,
         )
 
     dists = np.sum((average_pose(poses)[:3, 3] - poses[:, :3, 3]) ** 2, -1)

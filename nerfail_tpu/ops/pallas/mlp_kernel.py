@@ -37,10 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 from nerfail_tpu.config import NeRFModelConfig
 from nerfail_tpu.ops.encoding import positional_encoding
 
-# forward keeps only one [T, 320] activation live → big tiles amortize the
-# per-grid-step overhead; backward stashes all D layer activations in VMEM
-# (D·T·256·2B in bf16) so its tile stays smaller.
-FWD_TILE = 2048
+# forward keeps only one [T, 320] activation live; backward stashes all D
+# layer activations in VMEM (D·T·256·2B in bf16) so its tile stays smaller.
+# 1024 measured fastest for the fwd on v5e (39.7 TF/s vs 34.6 @2048 and
+# 25.8 @512, chained-dispatch timing r3) — the kernel is MXU-pass-bound at
+# the reference's 256-wide shape, not DMA-bound, so moderate tiles win.
+FWD_TILE = 1024
 BWD_TILE = 512
 TILE = BWD_TILE  # alignment granularity for input padding
 _DOT = functools.partial(

@@ -211,6 +211,13 @@ def build_scatter_plan(
     )
 
 
+def padded_points(num_points: int) -> int:
+    """Per-view point count rounded up to a whole number of chunks —
+    batched plans place view v at offset v·padded_points so no chunk
+    ever spans two views (the norm pass reduces per view by chunk)."""
+    return -(-num_points // CHUNK) * CHUNK
+
+
 def build_batched_scatter_plan(
     idx: np.ndarray,
     weights: np.ndarray,
@@ -220,32 +227,37 @@ def build_batched_scatter_plan(
 ) -> ScatterPlan:
     """Combined plan for PER-VIEW point tensors (splat_gather_batched).
 
-    View v's pairs scatter into rows [v·M, (v+1)·M) of a single [V·M, C]
-    output (local view index within a shard when n_shards > 1), so the
-    whole batched-DeepFool backward is ONE kernel pass. The plan's
-    num_points is V_local·M; the caller reshapes to [V, M, C]."""
+    View v's pairs scatter into rows [v·Mp, v·Mp + M) of a single
+    [V·Mp, C] output with Mp = padded_points(M) (local view index within
+    a shard when n_shards > 1), so the whole batched-DeepFool backward is
+    ONE kernel pass and every chunk belongs to exactly one view. The
+    plan's num_points is V_local·Mp; callers slice [:, :M] per view."""
     idx = np.asarray(idx)
     V = idx.shape[0]
     per = V // max(n_shards, 1)
-    if per * num_points >= 2 ** 31:
+    mp = padded_points(num_points)
+    if per * mp >= 2 ** 31:
         raise ValueError("V_local·M must fit int32")
     local_v = (np.arange(V) % per).astype(np.int64)
-    off = (local_v * num_points).reshape(
+    off = (local_v * mp).reshape(
         (V,) + (1,) * (idx.ndim - 1)
     )
     return build_scatter_plan(
         (idx.astype(np.int64) + off).astype(np.int32),
-        weights, per * num_points, pair_mask=pair_mask, n_shards=n_shards,
+        weights, per * mp, pair_mask=pair_mask, n_shards=n_shards,
     )
 
 
 def _segsum_kernel(channels, row_chunk_ref, packed_ref, out_ref):
     """One plan row: out[C, 512] += Σ_p contrib_p[C] ⊗ onehot_p[512].
 
-    `packed` [8, ROW_PB] carries the C contribution channels in sublane
-    rows 0..C-1 and the pair's in-chunk point id (as f32) in row C —
-    pairs ride the lane axis, so the one-hot compare is a free sublane
-    broadcast and the whole tensor has zero tiling padding. The output
+    `packed` [pad8(C+1), ROW_PB] carries the C contribution channels in
+    sublane rows 0..C-1 and the pair's in-chunk point id (as f32) in row
+    C — pairs ride the lane axis, so the one-hot compare is a free
+    sublane broadcast and the tensor has zero tiling padding. C is not
+    limited to the splat's 4: the batched-DeepFool jacobian stacks all
+    num_classes·4 class-cotangents into one pass (C=32), turning 8
+    kernel walks over the plan into one with 8× the MXU rows. The output
     block is row_chunk[i] (scalar-prefetch index map): the first row of
     each chunk zeroes it, later rows of the same chunk accumulate while
     the block stays resident in VMEM."""
@@ -257,7 +269,7 @@ def _segsum_kernel(channels, row_chunk_ref, packed_ref, out_ref):
     def _zero():
         out_ref[0] = jnp.zeros((channels, CHUNK), jnp.float32)
 
-    packed = packed_ref[0]                               # [8, ROW_PB]
+    packed = packed_ref[0]                               # [pad8, ROW_PB]
     c = packed[:channels]                                # [C, ROW_PB]
     locf = packed[channels:channels + 1]                 # [1, ROW_PB]
     # tpu.iota is integer-only; the int→f32 convert keeps the compare in
@@ -274,6 +286,194 @@ def _segsum_kernel(channels, row_chunk_ref, packed_ref, out_ref):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+def _segsum_sq_kernel(channels, row_chunk_ref, packed_ref, out_ref,
+                      acc_ref):
+    """Like _segsum_kernel but emits ONLY per-chunk squared sums
+    out[chunk, C] = Σ_lanes acc[C, 512]², never writing the [C, 512]
+    accumulators to HBM. This is the norm pass of the batched-DeepFool
+    step: ‖Splatᵀ G_k‖² for all classes in one plan walk, with the
+    full [n_cls, V, M, 4] jacobian (≈8 GB at reference scale) never
+    materialized. The accumulator lives in persistent VMEM scratch."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    prev = row_chunk_ref[jnp.maximum(i - 1, 0)]
+    nxt = row_chunk_ref[jnp.minimum(i + 1, n - 1)]
+    cur = row_chunk_ref[i]
+    first = jnp.logical_or(i == 0, cur != prev)
+    last = jnp.logical_or(i == n - 1, cur != nxt)
+
+    @pl.when(first)
+    def _zero():
+        acc_ref[:] = jnp.zeros((channels, CHUNK), jnp.float32)
+
+    packed = packed_ref[0]
+    c = packed[:channels]
+    locf = packed[channels:channels + 1]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, ROW_PB), 0
+    ).astype(jnp.float32)
+    onehot_t = (locf == iota).astype(jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        c, onehot_t, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(last)
+    def _emit():
+        acc = acc_ref[:]
+        # row 0 carries the result; rows 1..7 are sublane padding (the
+        # TPU lowering needs an 8-divisible second-to-last block dim)
+        out_ref[0] = jnp.broadcast_to(
+            jnp.sum(acc * acc, axis=1)[None, :], (8, acc.shape[0])
+        )
+
+
+def _pack_T(gT, pix_id, w):
+    """Channel-major packing: gT [C, n_pixels] → packed [n_rows, C, pb].
+
+    The attack-scale cotangent stacks keep pixels on the MINOR axis —
+    a [..., n_pix, C≤32] layout gets lane-padded up to 16× by XLA's
+    (8, 128) tiling (observed 9.8 GB for a 625 MB logical array), while
+    [C, n_pix] tiles with zero waste."""
+    n_rows, pb = pix_id.shape
+    C = gT.shape[0]
+    gb = jnp.take(gT, pix_id.reshape(-1), axis=1, mode="clip")
+    gb = gb.reshape(C, n_rows, pb)
+    contrib = gb * w[None]                               # [C, n_rows, pb]
+    return jnp.moveaxis(contrib, 0, 1)                   # [n_rows, C, pb]
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def planned_segment_sum_T(
+    gT: jnp.ndarray,            # [C, n_pixels] channel-major cotangents
+    row_chunk: jnp.ndarray,
+    pix_id: jnp.ndarray,
+    w: jnp.ndarray,
+    local: jnp.ndarray,
+    num_points: int,
+) -> jnp.ndarray:
+    """planned_segment_sum for channel-major input (layout-safe at C>4)."""
+    n_rows, pb = pix_id.shape
+    channels = gT.shape[0]
+    n_chunks = -(-num_points // CHUNK)
+    contrib_t = _pack_T(gT, pix_id, w)
+    locf = local.astype(jnp.float32)[:, None, :]
+    sub = -(-(channels + 1) // 8) * 8
+    pad_rows = sub - channels - 1
+    packed = jnp.concatenate(
+        [contrib_t, locf,
+         jnp.zeros((n_rows, pad_rows, pb), jnp.float32)], axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows,),
+        in_specs=[pl.BlockSpec((1, sub, pb), lambda i, rc: (i, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, channels, CHUNK), lambda i, rc: (rc[i], 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, channels),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, channels, CHUNK), jnp.float32
+        ),
+        interpret=_interpret(),
+    )(row_chunk, packed)
+    # keep channel-major: [C, n_chunks·512] → slice points
+    out = jnp.moveaxis(out, 1, 0).reshape(channels, n_chunks * CHUNK)
+    return out[:, :num_points]
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def planned_segment_sq_T(
+    gT: jnp.ndarray,            # [C, n_pixels] channel-major cotangents
+    row_chunk: jnp.ndarray,
+    pix_id: jnp.ndarray,
+    w: jnp.ndarray,
+    local: jnp.ndarray,
+    num_points: int,
+) -> jnp.ndarray:
+    """planned_segment_sq for channel-major input: [n_chunks, C] squared
+    sums without materializing the dense result (layout-safe packing)."""
+    n_rows, pb = pix_id.shape
+    channels = gT.shape[0]
+    n_chunks = -(-num_points // CHUNK)
+    contrib_t = _pack_T(gT, pix_id, w)
+    locf = local.astype(jnp.float32)[:, None, :]
+    sub = -(-(channels + 1) // 8) * 8
+    pad_rows = sub - channels - 1
+    packed = jnp.concatenate(
+        [contrib_t, locf,
+         jnp.zeros((n_rows, pad_rows, pb), jnp.float32)], axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows,),
+        in_specs=[pl.BlockSpec((1, sub, pb), lambda i, rc: (i, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, 8, channels), lambda i, rc: (rc[i], 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((channels, CHUNK), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_sq_kernel, channels),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, 8, channels), jnp.float32
+        ),
+        interpret=_interpret(),
+    )(row_chunk, packed)
+    return out[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def planned_segment_sq(
+    g: jnp.ndarray,             # [n_pixels, C] per-pixel cotangents
+    row_chunk: jnp.ndarray,     # [n_rows]
+    pix_id: jnp.ndarray,        # [n_rows, ROW_PB]
+    w: jnp.ndarray,             # [n_rows, ROW_PB]
+    local: jnp.ndarray,         # [n_rows, ROW_PB]
+    num_points: int,
+) -> jnp.ndarray:
+    """Per-chunk squared norms [n_chunks, C] of the segment-sum result —
+    Σ_{points in chunk} (Σ_pairs w·g[pix])² per channel, without ever
+    materializing the [num_points, C] result."""
+    n_rows, pb = pix_id.shape
+    channels = g.shape[-1]
+    n_chunks = -(-num_points // CHUNK)
+    g_bucketed = jnp.take(
+        g, pix_id.reshape(-1), axis=0, mode="clip",
+    ).reshape(n_rows, pb, channels)
+    contrib_t = (g_bucketed * w[..., None]).transpose(0, 2, 1)
+    locf = local.astype(jnp.float32)[:, None, :]
+    sub = -(-(channels + 1) // 8) * 8
+    pad_rows = sub - channels - 1
+    packed = jnp.concatenate(
+        [contrib_t, locf,
+         jnp.zeros((n_rows, pad_rows, pb), jnp.float32)], axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows,),
+        in_specs=[pl.BlockSpec((1, sub, pb), lambda i, rc: (i, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, 8, channels), lambda i, rc: (rc[i], 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((channels, CHUNK), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_sq_kernel, channels),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, 8, channels), jnp.float32
+        ),
+        interpret=_interpret(),
+    )(row_chunk, packed)
+    return out[:, 0, :]
 
 
 def _interpret() -> bool:
@@ -305,7 +505,8 @@ def planned_segment_sum(
     ).reshape(n_rows, pb, channels)
     contrib_t = (g_bucketed * w[..., None]).transpose(0, 2, 1)
     locf = local.astype(jnp.float32)[:, None, :]
-    pad_rows = 8 - channels - 1
+    sub = -(-(channels + 1) // 8) * 8      # sublane-pad C+1 rows
+    pad_rows = sub - channels - 1
     packed = jnp.concatenate(
         [contrib_t, locf,
          jnp.zeros((n_rows, pad_rows, pb), jnp.float32)], axis=1,
@@ -315,7 +516,7 @@ def planned_segment_sum(
         num_scalar_prefetch=1,
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec((1, 8, pb), lambda i, rc: (i, 0, 0)),
+            pl.BlockSpec((1, sub, pb), lambda i, rc: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, channels, CHUNK), lambda i, rc: (rc[i], 0, 0)

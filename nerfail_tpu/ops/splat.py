@@ -71,17 +71,23 @@ def splat_gather_batched(
     if plan is None:
         return jax.vmap(_splat_gather_static_w)(points_b, idx, w)
     V, M, C = points_b.shape
+    _check_batched_plan(plan, V, M, idx, mesh)
+    fn = _planned_splat_batched(mesh)
+    return fn(points_b, idx, w, plan.row_chunk, plan.pix_id, plan.w,
+              plan.local)
+
+
+def _check_batched_plan(plan, V, M, idx, mesh):
+    from nerfail_tpu.ops.pallas.segsum_kernel import padded_points
+
     S = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-    expect = (V // S) * M
+    expect = (V // S) * padded_points(M)
     if plan.num_points != expect:
         raise ValueError(
             f"batched plan covers {plan.num_points} rows, step needs "
             f"{expect} (V={V}, M={M}, shards={S}) — stale plan?"
         )
     _check_pixels(plan, idx, S)
-    fn = _planned_splat_batched(mesh)
-    return fn(points_b, idx, w, plan.row_chunk, plan.pix_id, plan.w,
-              plan.local)
 
 
 def _check_plan(plan, m, idx, mesh):
@@ -165,6 +171,146 @@ def _splat_static_bwd(res, g):
 _splat_gather_static_w.defvjp(_splat_static_fwd, _splat_static_bwd)
 
 
+def splat_deepfool_engine(
+    head_fn,                    # pix [V, ..., C] → logits [V, n_classes]
+    points_b: jnp.ndarray,      # [V, M, C] per-view point tensors
+    idx: jnp.ndarray,           # [V, ..., k]
+    w: jnp.ndarray,             # [V, ..., k]
+    plan,                       # from build_batched_scatter_plan
+    num_classes: int,
+    ori_label: jnp.ndarray,     # [V] clean predictions
+    mesh=None,
+):
+    """One DeepFool iteration's jacobian quantities WITHOUT the jacobian.
+
+    Returns (logits [V, n_cls], sq [V, n_cls], pick) where
+    sq[v, k] = ‖∂(logit_k − logit_ori)/∂points_b[v]‖² and
+    pick(k [V]) → gdiff [V, M, C] for each view's chosen class.
+
+    The full per-class jacobian is [n_cls, V, M, C] ≈ 8 GB at reference
+    scale (8×800², M=1.92M) — it OOMs a v5e outright. Instead:
+      1. n_cls pullbacks through `head_fn` ONLY (composite+resize+
+         classifier) give pixel-space cotangents G (~0.7 GB);
+      2. Gdiff = G − G[ori] stacks classes into multi-channel plan walks
+         whose kernel emits ONLY per-chunk squared sums
+         (planned_segment_sq) — the norms fall out without the
+         point-space tensors ever existing. Classes walk in groups of
+         8//C (the packed [n_rows, pad8(ch+1), 2048] operand for all 32
+         channels at once is ~11 GB at bench scale; per-group it stays
+         under ~4 GB);
+      3. `pick` runs one more C-channel pass for the chosen class only.
+    Total: n_cls//2 + 1 plan walks per iteration (vs n_cls full splat
+    backwards), each with 2× the MXU rows of a single-class backward.
+    """
+    from nerfail_tpu.ops.pallas.segsum_kernel import (
+        CHUNK, padded_points, planned_segment_sq_T, planned_segment_sum_T,
+    )
+
+    V, M, C = points_b.shape
+    _check_batched_plan(plan, V, M, idx, mesh)
+    S = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    mp = padded_points(M)
+    nc_view = mp // CHUNK
+
+    pix = jax.vmap(_splat_fwd_impl)(points_b, idx, w)    # [V, ..., C]
+    logits, pullback = jax.vjp(head_fn, pix)
+    eye = jnp.eye(num_classes, dtype=logits.dtype)
+    G = jax.vmap(
+        lambda e: pullback(jnp.broadcast_to(e, (V, num_classes)))[0]
+    )(eye)                                               # [ncls, V, ..., C]
+    n_pix = pix.size // (V * C)
+    # EVERYTHING below stays channel-major ([..., n_pix] minor): a
+    # [..., n_pix, C≤32] array gets lane-padded up to 16× by the (8,128)
+    # tiling — 9.8 GB for this 625 MB stack at 8×800² (OOM), vs zero
+    # padding with pixels on the lanes.
+    G = jnp.moveaxis(
+        G.reshape(num_classes, V, n_pix, C), 3, 1
+    )                                                    # [ncls, C, V, pix]
+    G_ori = jnp.take_along_axis(
+        G, ori_label[None, None, :, None], axis=0
+    )
+    Gdiff = (G - G_ori).reshape(num_classes * C, V, n_pix)
+
+    group = max(1, 8 // C)          # classes per norm walk (8 channels)
+    assert num_classes % group == 0
+    n_groups = num_classes // group
+    Ggrp = Gdiff.reshape(n_groups, group * C, V, n_pix)
+
+    def sq_one_group(Gg):                                # [grp·C, V, pix]
+        if mesh is None:
+            return planned_segment_sq_T(
+                Gg.reshape(group * C, -1),
+                plan.row_chunk[0], plan.pix_id[0], plan.w[0],
+                plan.local[0], V * mp,
+            )                                            # [V·nc, grp·C]
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        Gg = jax.lax.with_sharding_constraint(
+            Gg, NamedSharding(mesh, P(None, "data", None))
+        )
+
+        def local_sq(g_l, rc, pid, wl, loc):
+            return planned_segment_sq_T(
+                g_l.reshape(group * C, -1),
+                rc[0], pid[0], wl[0], loc[0], (V // S) * mp,
+            )
+
+        spec = P("data", None, None)
+        return shard_map(
+            local_sq, mesh=mesh,
+            in_specs=(P(None, "data", None), P("data", None),
+                      spec, spec, spec),
+            out_specs=P("data", None), check_vma=False,
+        )(Gg, plan.row_chunk, plan.pix_id, plan.w, plan.local)
+
+    # lax.map forces the group walks SEQUENTIAL so only one group's
+    # gather/pack temporaries are live at a time; a python loop lets the
+    # XLA scheduler interleave all groups and sum their footprints
+    sq_chunks = jax.lax.map(sq_one_group, Ggrp)  # [n_groups, V·nc, grp·C]
+    sq = jnp.concatenate(
+        [c.reshape(V, nc_view, group, C).sum(axis=(1, 3))
+         for c in sq_chunks], axis=-1,
+    )                                                    # [V, ncls]
+
+    def pick(k: jnp.ndarray) -> jnp.ndarray:             # k [V] → [V, M, C]
+        Gsel = jnp.take_along_axis(
+            Gdiff.reshape(num_classes, C, V, n_pix),
+            k[None, None, :, None], axis=0,
+        )[0]                                             # [C, V, n_pix]
+        if mesh is None:
+            flat = planned_segment_sum_T(
+                Gsel.reshape(C, -1),
+                plan.row_chunk[0], plan.pix_id[0], plan.w[0],
+                plan.local[0], V * mp,
+            )                                            # [C, V·mp]
+        else:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            Gs = jax.lax.with_sharding_constraint(
+                Gsel, NamedSharding(mesh, P(None, "data", None))
+            )
+
+            def local_sum(g_l, rc, pid, wl, loc):
+                return planned_segment_sum_T(
+                    g_l.reshape(C, -1),
+                    rc[0], pid[0], wl[0], loc[0], (V // S) * mp,
+                )
+
+            spec = P("data", None, None)
+            flat = shard_map(
+                local_sum, mesh=mesh,
+                in_specs=(P(None, "data", None), P("data", None),
+                          spec, spec, spec),
+                out_specs=P(None, "data"), check_vma=False,
+            )(Gs, plan.row_chunk, plan.pix_id, plan.w, plan.local)
+        out = flat.reshape(C, V, mp)[:, :, :M]           # [C, V, M]
+        return jnp.moveaxis(out, 0, 2)                   # [V, M, C]
+
+    return logits, sq, pick
+
+
 # ------------------------------------------------- planned (Pallas backward)
 
 
@@ -222,23 +368,25 @@ def _planned_splat_batched(mesh):
 
     def bwd(res, g):
         from nerfail_tpu.ops.pallas.segsum_kernel import (
-            planned_segment_sum, planned_segment_sum_sharded,
+            padded_points, planned_segment_sum, planned_segment_sum_sharded,
         )
 
         points_shape, row_chunk, pix_id, w_pad, local = res
         V, M, C = points_shape
+        mp = padded_points(M)   # view v owns rows [v·mp, v·mp + M)
         if mesh is None:
             flat = planned_segment_sum(
                 g.reshape(-1, C), row_chunk[0], pix_id[0], w_pad[0],
-                local[0], V * M,
+                local[0], V * mp,
             )
         else:
             S = int(mesh.shape.get("data", 1))
             flat = planned_segment_sum_sharded(
                 g.reshape(V, -1, C), row_chunk, pix_id, w_pad, local,
-                (V // S) * M, mesh, reduce=False,
+                (V // S) * mp, mesh, reduce=False,
             )
-        return (flat.reshape(V, M, C), None, None, None, None, None, None)
+        return (flat.reshape(V, mp, C)[:, :M], None, None, None, None,
+                None, None)
 
     f.defvjp(fwd, bwd)
     return f

@@ -223,6 +223,44 @@ def make_train_step(
     return step_fn
 
 
+def make_multi_train_step(
+    mcfg: NeRFModelConfig,
+    rcfg: RenderConfig,
+    tcfg: TrainConfig,
+    precrop: bool,
+    k: int,
+    mesh=None,
+    debug_numerics: bool = False,
+) -> Callable:
+    """`k` train steps per dispatch via lax.scan — one XLA program does k
+    full (sample → render → grad → Adam) iterations, amortizing host
+    dispatch/launch latency k× (the reference host-loops every step;
+    run_nerf.py:727). Returns (params, opt_state, base_key, images, poses,
+    K) → (params', opt_state', last-step metrics). Step i derives its RNG
+    as fold_in(base_key, i), matching the single-step trainer's stream."""
+    step_fn = make_train_step(
+        mcfg, rcfg, tcfg, precrop, mesh=mesh, debug_numerics=debug_numerics,
+    )
+
+    @jax.jit
+    def multi(params, opt_state, images, poses, K, base_key):
+        def body(carry, i):
+            params, opt_state = carry
+            key = jax.random.fold_in(base_key, i)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, images, poses, K, key
+            )
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(k)
+        )
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return params, opt_state, last
+
+    return multi
+
+
 def dump_run_config(logdir: str, cfg) -> None:
     """Write `args.txt` (flat `key = value` lines) and `config.json` into
     the run directory — the reference snapshots its flags and config file

@@ -266,3 +266,41 @@ class TestCheckpointFingerprint:
         arrays, meta = load_attack_state(
             p, fingerprint={"n_views": 8, "eps": 32.0})
         assert meta["epoch"] == 7
+
+
+class TestMultiTrainStep:
+    def test_k_steps_match_sequential(self):
+        from nerfail_tpu.config import (
+            NeRFModelConfig, RenderConfig, TrainConfig,
+        )
+        from nerfail_tpu.train.nerf_trainer import (
+            create_train_state, make_multi_train_step, make_train_step,
+        )
+
+        mcfg = NeRFModelConfig(netdepth=1, netwidth=32, multires=2,
+                               multires_views=2)
+        rcfg = RenderConfig(N_samples=4, N_importance=0, chunk=64)
+        tcfg = TrainConfig(N_rand=16, precrop_iters=0)
+        state = create_train_state(jax.random.PRNGKey(0), mcfg, rcfg, tcfg)
+        H = W = 8
+        images = jnp.linspace(0, 1, 2 * H * W * 3).reshape(2, H, W, 3)
+        poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (2, 4, 4))
+        K = jnp.array([[5.0, 0, 4], [0, 5.0, 4], [0, 0, 1]], jnp.float32)
+        base = jax.random.PRNGKey(7)
+
+        step = make_train_step(mcfg, rcfg, tcfg, precrop=False)
+        p, o = state.params, state.opt_state
+        for i in range(3):
+            p, o, m = step(p, o, images, poses, K,
+                           jax.random.fold_in(base, i))
+
+        multi = make_multi_train_step(mcfg, rcfg, tcfg, precrop=False, k=3)
+        p2, o2, m2 = multi(state.params, state.opt_state, images, poses, K,
+                           base)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            ), p, p2,
+        )
+        np.testing.assert_allclose(float(m2["loss"]), float(m["loss"]),
+                                   rtol=1e-6)

@@ -184,3 +184,18 @@ class TestPoseMath:
         posn = posr / np.linalg.norm(posr, axis=-1, keepdims=True)
         np.testing.assert_allclose(back, posn, atol=1e-6)
         np.testing.assert_allclose(bds2, bds / 3.0, rtol=0.05)
+
+
+class TestLoaderModes:
+    def test_resolution_targets_and_zflat(self, llff_dir):
+        d, _ = llff_dir
+        ll = load_llff_data(d, factor=1, width=16)
+        assert ll.W == 16 and ll.H == 16
+        ll2 = load_llff_data(d, factor=1, height=16)
+        assert ll2.H == 16
+        flat = load_llff_data(d, factor=1, path_zflat=True)
+        assert flat.render_poses.shape[0] == 60      # half-length path
+        # flat orbit: no z-radius component → constant height in the
+        # average-camera frame (z offsets only from the backed-off center)
+        z = flat.render_poses[:, :3, 3] @ np.array([0.0, 0.0, 1.0])
+        assert np.ptp(z) < 1e-4

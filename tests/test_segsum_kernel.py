@@ -281,3 +281,31 @@ def test_batched_plan_per_view_points(rng):
         np.asarray(pull_pl(g)[0]), np.asarray(pull_ref(g)[0]),
         rtol=1e-5, atol=1e-4,
     )
+
+
+def test_planned_segment_sq_matches_dense(rng):
+    """Norm pass: per-chunk squared sums == square of the dense result."""
+    from nerfail_tpu.ops.pallas.segsum_kernel import (
+        CHUNK, build_scatter_plan, planned_segment_sq, planned_segment_sum,
+    )
+
+    M = 1300
+    N = 6000
+    C = 16                     # multi-channel (the DeepFool norm stack)
+    idx = rng.integers(0, M, (N, 8)).astype(np.int32)
+    w = rng.uniform(0, 1, (N, 8)).astype(np.float32)
+    g = rng.standard_normal((N, C)).astype(np.float32)
+    plan = build_scatter_plan(idx, w, M)
+    args = (jnp.asarray(plan.row_chunk[0]), jnp.asarray(plan.pix_id[0]),
+            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]))
+
+    dense = planned_segment_sum(jnp.asarray(g), *args, M)      # [M, C]
+    n_chunks = -(-M // CHUNK)
+    pad = n_chunks * CHUNK - M
+    dense_p = jnp.pad(dense, ((0, pad), (0, 0)))
+    want = jnp.sum(
+        dense_p.reshape(n_chunks, CHUNK, C) ** 2, axis=1
+    )
+    got = planned_segment_sq(jnp.asarray(g), *args, M)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
