@@ -1,0 +1,260 @@
+"""Exact 8-NN Pallas kernel: tiled distance sweep with VMEM-resident top-k.
+
+The pipeline's point-set stage needs, for every pixel of every image, the
+8 nearest points of the spatial set S (create_index_and_dist.py:126-145 —
+the reference cdist-sort-merge loop). At reference scale that is 640K
+queries × 1.92M points **per image**: any XLA formulation stages the
+[Q, M] distance matrix through HBM (≈5 TB per image) because the matmul
+cannot fuse into a top-k. This kernel never materializes distances:
+
+  * grid (query-tile, candidate-slot); the running top-8 (dist, idx) for
+    a query tile lives in VMEM across the whole candidate sweep
+  * d² is built on the VPU from a broadcast (q_d − p_d)² — K=3 is far too
+    thin for the MXU — and is consumed in-register
+  * a cheap `any(d² < worst-kept)` gate skips the top-8 extraction for
+    tiles that cannot contribute (the common case once warm)
+  * the host prunes candidate point-tiles per query tile with exact
+    bounding-box distance bounds after Morton-ordering both sides, so
+    spatially far tiles are never even DMA'd; `-1` slots are skipped.
+
+The candidate construction is exact, not approximate: a point tile is
+pruned only if its *lower*-bound distance exceeds an *upper* bound τ on
+the query tile's 8th-NN distance (τ = min over full tiles of the
+max-corner distance — every tile holds ≥ 8 points, so some 8 points are
+within τ of every query in the tile).
+
+Index tracking uses lane-iota identities (global idx = tile_offset +
+argmin lane), so no gathers are needed anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG_LANE = np.int32(2 ** 30)
+
+
+def _knn_kernel(k, tq, tp, m_total, cand_ref, q_ref, p_ref, od_ref, oi_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        od_ref[:] = jnp.full(od_ref.shape, jnp.inf, od_ref.dtype)
+        oi_ref[:] = jnp.zeros(oi_ref.shape, jnp.int32)
+
+    jt = cand_ref[i, j]
+
+    @pl.when(jt >= 0)
+    def _work():
+        q = q_ref[:]                       # [TQ, 8] xyz in lanes 0:3
+        p = p_ref[:]                       # [3, TP]
+        d2 = (q[:, 0:1] - p[0:1, :]) ** 2
+        d2 += (q[:, 1:2] - p[1:2, :]) ** 2
+        d2 += (q[:, 2:3] - p[2:3, :]) ** 2                     # [TQ, TP]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, tp), 1)
+        off = jt * tp
+        d2 = jnp.where(off + lane < m_total, d2, jnp.inf)
+
+        best_d = od_ref[:]                 # [TQ, k]
+        improves = jnp.any(d2 < best_d[:, k - 1:k])
+
+        @pl.when(improves)
+        def _merge():
+            # k smallest of this tile, ascending (indices via lane iota)
+            tile_d, tile_i = [], []
+            dd = d2
+            for _ in range(k):
+                m = jnp.min(dd, axis=1, keepdims=True)
+                am = jnp.min(
+                    jnp.where(dd == m, lane, _BIG_LANE),
+                    axis=1, keepdims=True,
+                )
+                tile_d.append(m)
+                tile_i.append(am + off)
+                dd = jnp.where(lane == am, jnp.inf, dd)
+            cd = jnp.concatenate([best_d] + tile_d, axis=1)    # [TQ, 2k]
+            ci = jnp.concatenate([oi_ref[:]] + tile_i, axis=1)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (tq, 2 * k), 1)
+            nd, ni = [], []
+            for _ in range(k):
+                m = jnp.min(cd, axis=1, keepdims=True)
+                am = jnp.min(
+                    jnp.where(cd == m, lane2, _BIG_LANE),
+                    axis=1, keepdims=True,
+                )
+                sel = lane2 == am
+                nd.append(m)
+                ni.append(jnp.sum(
+                    jnp.where(sel, ci, 0), axis=1, keepdims=True
+                ))
+                cd = jnp.where(sel, jnp.inf, cd)
+            od_ref[:] = jnp.concatenate(nd, axis=1)
+            oi_ref[:] = jnp.concatenate(ni, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tq", "tp", "m_total", "interpret")
+)
+def _knn_call(qpk, ppk, cand, k, tq, tp, m_total, interpret=False):
+    n_q = qpk.shape[0] // tq
+    max_c = cand.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_q, max_c),
+        in_specs=[
+            pl.BlockSpec((tq, 8), lambda i, j, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tp), lambda i, j, c: (0, jnp.maximum(c[i, j], 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, k), lambda i, j, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k), lambda i, j, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_knn_kernel, k, tq, tp, m_total),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qpk.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((qpk.shape[0], k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cand, qpk, ppk)
+
+
+# ----------------------------------------------------------------- host side
+
+
+def _morton_order(x: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Permutation sorting 3D points along a Morton (Z-order) curve, so
+    consecutive tiles are spatially compact and bbox pruning bites."""
+    lo, hi = x.min(0), x.max(0)
+    q = ((x - lo) / np.maximum(hi - lo, 1e-12) * (2 ** bits - 1)).astype(
+        np.uint64
+    )
+
+    def spread(v):
+        v &= np.uint64(0x3FF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x30000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x9249249)
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
+def _tile_bboxes(x: np.ndarray, tile: int) -> Tuple[np.ndarray, np.ndarray]:
+    n = x.shape[0] // tile
+    t = x[: n * tile].reshape(n, tile, 3)
+    return t.min(1), t.max(1)
+
+
+def _candidates(
+    q_lo, q_hi, p_lo, p_hi, n_full_p: int, k: int, tp: int
+) -> np.ndarray:
+    """Exact bbox pruning: per query tile, the point tiles that can hold
+    one of its k nearest. Returns [n_q, max_c] int32 padded with -1."""
+    # lower bound between boxes, per dim: gap = max(0, plo-qhi, qlo-phi)
+    gap = np.maximum(
+        0.0,
+        np.maximum(
+            p_lo[None, :, :] - q_hi[:, None, :],
+            q_lo[:, None, :] - p_hi[None, :, :],
+        ),
+    )
+    lb2 = (gap ** 2).sum(-1)                                   # [n_q, n_p]
+    # upper bound: farthest corner distance, per dim the larger overhang
+    span = np.maximum(
+        np.abs(p_hi[None, :, :] - q_lo[:, None, :]),
+        np.abs(q_hi[:, None, :] - p_lo[None, :, :]),
+    )
+    ub2 = (span ** 2).sum(-1)
+    # τ²: the k-th NN of every query in tile i is ≤ the best full tile's
+    # max-corner distance (a full tile holds tp ≥ k points)
+    full = ub2[:, :n_full_p] if n_full_p else ub2
+    tau2 = full.min(1) if full.shape[1] else np.full(lb2.shape[0], np.inf)
+    keep = lb2 <= tau2[:, None] + 1e-12
+    # bucket the pad width so repeated calls (e.g. one per image) hit the
+    # same compiled kernel instead of retracing per distinct max_c
+    max_c = max(int(keep.sum(1).max()), 1)
+    max_c = min(-(-max_c // 16) * 16, lb2.shape[1])
+    n_q = lb2.shape[0]
+    cand = np.full((n_q, max_c), -1, np.int32)
+    order = np.argsort(np.where(keep, lb2, np.inf), axis=1)
+    counts = keep.sum(1)
+    for i in range(n_q):
+        cand[i, : counts[i]] = order[i, : counts[i]]
+    return cand
+
+
+def knn_pallas(
+    queries: np.ndarray,       # [Q, 3]
+    points: np.ndarray,        # [M, 3]
+    k: int = 8,
+    tq: int = 256,
+    tp: int = 512,
+    prune: bool = True,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN (dist ascending, global idx) of each query in `points`.
+
+    Drop-in for `knn_topk`/`knn_host_tree` on the TPU; Euclidean outputs
+    match the reference cdist semantics (create_index_and_dist.py:133-137).
+    """
+    queries = np.asarray(queries, np.float32)
+    points = np.asarray(points, np.float32)
+    Q, M = queries.shape[0], points.shape[0]
+
+    qperm = _morton_order(queries) if prune else np.arange(Q)
+    pperm = _morton_order(points) if prune else np.arange(M)
+    qs = queries[qperm]
+    ps = points[pperm]
+
+    Qp = -(-Q // tq) * tq
+    Mp = -(-M // tp) * tp
+    qpk = np.zeros((Qp, 8), np.float32)
+    qpk[:Q, :3] = qs
+    # pad queries with the last real query (harmless duplicate work)
+    if Qp != Q:
+        qpk[Q:, :3] = qs[-1]
+    ppad = np.concatenate([ps, np.full((Mp - M, 3), 1e30, np.float32)])
+    ppk = np.ascontiguousarray(ppad.T)                         # [3, Mp]
+
+    n_q, n_p = Qp // tq, Mp // tp
+    if prune and n_p > 1:
+        q_lo, q_hi = _tile_bboxes(qpk[:, :3], tq)
+        p_lo, p_hi = _tile_bboxes(
+            np.concatenate([ps, np.repeat(ps[-1:], Mp - M, 0)]), tp
+        )
+        n_full_p = n_p if M == Mp else n_p - 1
+        cand = _candidates(q_lo, q_hi, p_lo, p_hi, n_full_p, k, tp)
+    else:
+        cand = np.tile(np.arange(n_p, dtype=np.int32), (n_q, 1))
+
+    d, idx = _knn_call(
+        jnp.asarray(qpk), jnp.asarray(ppk), jnp.asarray(cand),
+        k=k, tq=tq, tp=tp, m_total=M, interpret=interpret,
+    )
+    d = np.sqrt(np.maximum(np.asarray(d[:Q]), 0.0))
+    idx = np.asarray(idx[:Q])
+    # undo both permutations
+    gidx = pperm[np.minimum(idx, M - 1)].astype(np.int32)
+    out_d = np.empty_like(d)
+    out_i = np.empty_like(gidx)
+    out_d[qperm] = d
+    out_i[qperm] = gidx
+    return out_d, out_i

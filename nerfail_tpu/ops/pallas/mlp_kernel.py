@@ -1,23 +1,35 @@
-"""Fused NeRF-MLP Pallas kernel with recompute-in-VMEM backward.
+"""Fused NeRF-MLP Pallas kernel: in-kernel encoding + recompute backward.
 
-Why: the XLA path materializes every 256-wide activation
-([N·S, 256] ≈ 268 MB per layer at the full config) to HBM in forward AND
-backward — the renderer is HBM-bound at ~30 TFLOP/s. This kernel runs the
-whole trunk + viewdir head per point-tile inside VMEM:
+Why: the XLA path materializes the 63/27-channel Fourier encodings AND
+every 256-wide activation ([N·S, 256] ≈ 268 MB per layer at the full
+config) to HBM in forward and backward — the renderer is HBM-bound at
+~30 TFLOP/s. This kernel runs encoding + trunk + viewdir head per
+point-tile inside VMEM:
 
-  forward : out = MLP(enc_x, enc_d); nothing but [T, 64]/[T, 32] inputs and
-            [T, 8] raw outputs cross HBM
-  backward: custom VJP re-runs the forward per tile, stashing the layer
-            activations in a VMEM scratch (D×[T,256] ≈ 4 MB at T=512),
-            then backprops in-tile; dW accumulates across the sequential
-            grid into constant-index outputs
+  input   : one packed [T, 8] f32 block (xyz in lanes 0:3, viewdir 4:7)
+            — 32 KB/tile instead of the 384 KB/tile of precomputed
+            encodings, and no [N, 90] HBM round trip at all
+  encoding: phases = xin @ Sf (one small exact f32 matmul; Sf holds the
+            2^k frequencies routed to the reference's channel layout,
+            run_nerf_helpers.py:15-67), then sin/cos + channel-class
+            masks — identity columns have frequency 1 so phase == x
+  forward : out = MLP(enc_x, enc_d); only [T, 8] in / [T, 8] raw out
+            cross HBM
+  backward: custom VJP re-runs the forward per tile in VMEM, backprops
+            in-tile, maps d_enc back through the encoding jacobian
+            (m_id + m_sin·cos − m_cos·sin, then @ Sfᵀ) to d_xin; dW
+            accumulates across the sequential grid into constant-index
+            outputs
 
-Matmuls run as bf16 MXU passes with f32 accumulation
+MLP matmuls run as bf16 MXU passes with f32 accumulation
 (preferred_element_type) — the standard TPU mixed-precision contract.
+The tiny [T,8]@[8,C] phase matmuls stay f32/HIGHEST: frequencies are
+exact powers of two, so phases are bit-exact and the encoding matches
+ops/encoding.py exactly.
 
-Layout: all dims pre-padded lane-friendly outside the kernel
-(63→64 enc_x, 27→32 enc_d, skip rows 319→320, head cols 3/1→8); padded
-rows/cols are zero so they contribute nothing.
+Layout: dims pre-padded lane-friendly outside the kernel (63→64 enc_x,
+27→32 enc_d, skip rows 319→320, head cols 3/1→8); padded encoding
+columns have all-zero masks so they contribute nothing.
 
 Supports the reference architecture family: any depth, one optional skip
 concat (default after layer 4, run_nerf.py:188), viewdir head
@@ -31,11 +43,11 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerfail_tpu.config import NeRFModelConfig
-from nerfail_tpu.ops.encoding import positional_encoding
 
 # forward keeps only one [T, 320] activation live; backward stashes all D
 # layer activations in VMEM (D·T·256·2B in bf16) so its tile stays smaller.
@@ -78,45 +90,140 @@ def _mm_tB(a, b):
     )
 
 
+def _split3(a):
+    """Error-free 3×bf16 split of f32: a == hi + mid + lo exactly
+    (each residual subtraction is exact by Sterbenz)."""
+    hi = a.astype(jnp.bfloat16)
+    r = a - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _mm_f32(a, b):
+    """Exact f32 matmul against a bf16-exact RHS (the selector matrices
+    hold powers of two) in 3 single-pass bf16 products: a_hi·b + a_mid·b
+    + a_lo·b reconstructs the f32 product exactly in the f32 accumulator.
+    Half the passes of Precision.HIGHEST (which also splits b)."""
+    hi, mid, lo = _split3(a)
+    bb = b.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return (
+        _DOT(hi, bb, dims) + _DOT(mid, bb, dims) + _DOT(lo, bb, dims)
+    )
+
+
+def _mm_f32_tB(a, b):
+    hi, mid, lo = _split3(a)
+    bb = b.astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    return (
+        _DOT(hi, bb, dims) + _DOT(mid, bb, dims) + _DOT(lo, bb, dims)
+    )
+
+
+# ------------------------------------------------------------- encoding
+
+# packed input lanes: xyz at 0:3, viewdirs at 4:7 (lanes 3 and 7 zero)
+XYZ_ROW, DIR_ROW = 0, 4
+
+
+@functools.lru_cache(maxsize=None)
+def _enc_consts(
+    num_freqs: int, n_dims: int, row0: int, out_pad: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(Sf [8, out_pad], masks [3, out_pad]) for one encoder.
+
+    Column c of `xin @ Sf` is x_dim(c) · freq(c) in the reference layout
+    [x | sin(x·2⁰) cos(x·2⁰) | sin(x·2¹) ...] (ops/encoding.py); identity
+    columns use freq 1 so the phase IS the coordinate. masks rows select
+    (identity, sin, cos); padded columns are all-zero."""
+    C = n_dims * (1 + 2 * num_freqs)
+    sf = np.zeros((8, out_pad), np.float32)
+    m = np.zeros((3, out_pad), np.float32)
+    for c in range(C):
+        if c < n_dims:
+            sf[row0 + c, c] = 1.0
+            m[0, c] = 1.0
+        else:
+            cp = c - n_dims
+            k, r = divmod(cp, 2 * n_dims)
+            sf[row0 + r % n_dims, c] = float(2.0 ** k)
+            m[1 if r < n_dims else 2, c] = 1.0
+    return sf, m
+
+
+def _encode(xin, sf, m):
+    """[T, 8] packed coords → [T, C] encoding, all in registers/VMEM."""
+    phase = _mm_f32(xin, sf)                                  # [T, C]
+    return (
+        m[0:1] * phase + m[1:2] * jnp.sin(phase) + m[2:3] * jnp.cos(phase)
+    )
+
+
 # ---------------------------------------------------------------- forward
 
 
-def _fwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
-    n_w = depth + 4                 # W0..W_{D-1}, feature, views, alpha, rgb
-    n_b = depth + 2                 # b0..b_{D-1}, feature_b, views_b
-    w_refs = refs[:n_w]
-    b_refs = refs[n_w:n_w + n_b]
-    out_ref = refs[-1]
+# rows-per-tile split of the forward body: >1 gives Mosaic independent
+# dependency chains (MXU matmuls of one half could overlap the VPU
+# relu/bias of the other). Measured on v5e r3: splitting only hurts
+# (4.14 ms @1 → 4.29 @2 → 4.42 @4 for the 262K-point fwd) — Mosaic
+# already hides the VPU work; keep 1.
+FWD_SPLIT = 1
 
-    x = enc_x_ref[:]                                    # [T, 64]
+
+def _fwd_body(depth, skips, xin, sfx, mx, sfd, md, w_refs, b_refs):
+    x = _encode(xin, sfx, mx)                           # [t, 64]
+    enc_d = _encode(xin, sfd, md)                       # [t, 32]
     h = x
     for i in range(depth):
         h = jnp.maximum(_mm(h, w_refs[i][:]) + b_refs[i][:], 0.0)
         if i in skips:
             h = jnp.concatenate([x, h], axis=-1)
 
-    feature = _mm(h, w_refs[depth][:]) + b_refs[depth][:]       # [T, 256]
-    hv = jnp.concatenate([feature, enc_d_ref[:]], axis=-1)      # [T, 288]
+    feature = _mm(h, w_refs[depth][:]) + b_refs[depth][:]       # [t, 256]
+    hv = jnp.concatenate([feature, enc_d], axis=-1)             # [t, 288]
     hv = jnp.maximum(_mm(hv, w_refs[depth + 1][:]) + b_refs[depth + 1][:], 0.0)
-    alpha = _mm(h, w_refs[depth + 2][:])                        # [T, 8]
-    rgb = _mm(hv, w_refs[depth + 3][:])                         # [T, 8]
-    out_ref[:] = rgb + alpha                                    # disjoint cols
+    alpha = _mm(h, w_refs[depth + 2][:])                        # [t, 8]
+    rgb = _mm(hv, w_refs[depth + 3][:])                         # [t, 8]
+    return rgb + alpha                                          # disjoint cols
+
+
+def _fwd_kernel(depth, skips, xin_ref, sfx_ref, mx_ref, sfd_ref, md_ref,
+                *refs):
+    n_w = depth + 4                 # W0..W_{D-1}, feature, views, alpha, rgb
+    n_b = depth + 2                 # b0..b_{D-1}, feature_b, views_b
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:n_w + n_b]
+    out_ref = refs[-1]
+
+    xin = xin_ref[:]                                    # [T, 8]
+    sfx, mx, sfd, md = sfx_ref[:], mx_ref[:], sfd_ref[:], md_ref[:]
+    T = xin.shape[0]
+    split = FWD_SPLIT if T % FWD_SPLIT == 0 else 1
+    t = T // split
+    outs = [
+        _fwd_body(depth, skips, xin[s * t:(s + 1) * t], sfx, mx, sfd, md,
+                  w_refs, b_refs)
+        for s in range(split)
+    ]
+    out_ref[:] = outs[0] if split == 1 else jnp.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
+def _bwd_kernel(depth, skips, input_grads, xin_ref, sfx_ref, mx_ref,
+                sfd_ref, md_ref, *refs):
     n_w = depth + 4
     n_b = depth + 2
     w_refs = refs[:n_w]
     b_refs = refs[n_w:n_w + n_b]
     g_ref = refs[n_w + n_b]
-    # outputs: d_enc_x, d_enc_d, dW*, db*
-    d_enc_x_ref = refs[n_w + n_b + 1]
-    d_enc_d_ref = refs[n_w + n_b + 2]
-    dw_refs = refs[n_w + n_b + 3: n_w + n_b + 3 + n_w]
-    db_refs = refs[n_w + n_b + 3 + n_w:]
+    # outputs: d_xin, dW*, db*
+    d_xin_ref = refs[n_w + n_b + 1]
+    dw_refs = refs[n_w + n_b + 2: n_w + n_b + 2 + n_w]
+    db_refs = refs[n_w + n_b + 2 + n_w:]
 
     first = pl.program_id(0) == 0
 
@@ -128,7 +235,15 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
     # ---- recompute forward, stashing layer inputs AND relu outputs ----
     # stash in MATMUL_DTYPE: the matmuls re-cast to it anyway, so nothing
     # is lost on the dW path, and the live-VMEM footprint halves (bf16)
-    x = enc_x_ref[:]
+    xin = xin_ref[:]
+    sfx, mx = sfx_ref[:], mx_ref[:]
+    sfd, md = sfd_ref[:], md_ref[:]
+    phase_x = _mm_f32(xin, sfx)
+    x = mx[0:1] * phase_x + mx[1:2] * jnp.sin(phase_x) \
+        + mx[2:3] * jnp.cos(phase_x)
+    phase_d = _mm_f32(xin, sfd)
+    enc_d = md[0:1] * phase_d + md[1:2] * jnp.sin(phase_d) \
+        + md[2:3] * jnp.cos(phase_d)
     h = x
     hs = []            # input to layer i
     outs = []          # relu output of layer i (pre-skip-concat)
@@ -140,7 +255,7 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
             h = jnp.concatenate([x.astype(h.dtype), h], axis=-1)
     trunk = h                                               # [T, 256]
     feature = _mm(trunk, w_refs[depth][:]) + b_refs[depth][:]
-    hv_in = jnp.concatenate([feature, enc_d_ref[:]], axis=-1)
+    hv_in = jnp.concatenate([feature, enc_d], axis=-1)
     hv = jnp.maximum(
         _mm(hv_in, w_refs[depth + 1][:]) + b_refs[depth + 1][:], 0.0
     )
@@ -158,7 +273,7 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
     d_hv_in = _mm_tB(d_hv, w_refs[depth + 1][:])            # [T, W+vd_pad]
     W = trunk.shape[-1]
     d_feature = d_hv_in[:, :W]
-    d_enc_d_ref[:] = d_hv_in[:, W:]
+    d_enc_d = d_hv_in[:, W:]
     db_refs[depth][:] += jnp.sum(d_feature, axis=0, keepdims=True)
     dw_refs[depth][:] += _mm_tA(trunk, d_feature)           # d feature_w
     d_trunk = _mm_tB(d_feature, w_refs[depth][:])
@@ -178,7 +293,20 @@ def _bwd_kernel(depth, skips, enc_x_ref, enc_d_ref, *refs):
         dw_refs[i][:] += _mm_tA(hs[i], d_z)
         d_h = _mm_tB(d_z, w_refs[i][:])
     d_x += d_h
-    d_enc_x_ref[:] = d_x
+
+    # ---- encoding backward: d_enc → d_phase → d_xin -------------------
+    # compiled out when the caller declared pts/dirs non-differentiable
+    # (training: rays are data — run_nerf.py never differentiates inputs)
+    if input_grads:
+        d_phase_x = (
+            mx[0:1] + mx[1:2] * jnp.cos(phase_x) - mx[2:3] * jnp.sin(phase_x)
+        ) * d_x
+        d_phase_d = (
+            md[0:1] + md[1:2] * jnp.cos(phase_d) - md[2:3] * jnp.sin(phase_d)
+        ) * d_enc_d
+        d_xin_ref[:] = _mm_f32_tB(d_phase_x, sfx) + _mm_f32_tB(d_phase_d, sfd)
+    else:
+        d_xin_ref[:] = jnp.zeros(d_xin_ref.shape, d_xin_ref.dtype)
 
 
 # ---------------------------------------------------------------- plumbing
@@ -233,23 +361,26 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _unpack_head_bias(params):
-    # head biases (rgb_b, alpha_b) are folded into the output outside the
-    # kernel — cheap elementwise add on [N, 8]
-    return params["rgb_b"], params["alpha_b"]
+def _enc_const_args(static):
+    """(sfx, mx, sfd, md) jnp constants for one architecture."""
+    (_, _, multires, multires_views, in_dim, in_pad, vd_pad, _) = static
+    sfx, mx = _enc_consts(multires, in_dim, XYZ_ROW, in_pad)
+    sfd, md = _enc_consts(multires_views, in_dim, DIR_ROW, vd_pad)
+    return tuple(jnp.asarray(a) for a in (sfx, mx, sfd, md))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_call(static, enc_x, enc_d, ws, bs):
-    return _run_fwd(static, enc_x, enc_d, ws, bs)
+def _fused_call(static, xin, ws, bs):
+    return _run_fwd(static, xin, ws, bs)
 
 
-def _run_fwd(static, enc_x, enc_d, ws, bs):
-    depth, skips = static
+def _run_fwd(static, xin, ws, bs):
+    depth, skips = static[0], static[1]
+    consts = _enc_const_args(static)
     # one XLA-level cast per call instead of a VPU cast per grid step;
     # also halves the per-step weight VMEM traffic (bf16)
     ws = tuple(w.astype(MATMUL_DTYPE) for w in ws)
-    n = enc_x.shape[0]
+    n = xin.shape[0]
     tile = FWD_TILE if n % FWD_TILE == 0 else TILE
     grid = (n // tile,)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -258,71 +389,67 @@ def _run_fwd(static, enc_x, enc_d, ws, bs):
         functools.partial(_fwd_kernel, depth, skips),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, enc_x.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, xin.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, enc_d.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *[full(c) for c in consts],
             *[full(w) for w in ws],
             *[full(b) for b in bs],
         ],
         out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
-    )(enc_x, enc_d, *ws, *bs)
+    )(xin, *consts, *ws, *bs)
     return out
 
 
-def _fused_fwd(static, enc_x, enc_d, ws, bs):
-    return _run_fwd(static, enc_x, enc_d, ws, bs), (enc_x, enc_d, ws, bs)
+def _fused_fwd(static, xin, ws, bs):
+    return _run_fwd(static, xin, ws, bs), (xin, ws, bs)
 
 
 def _fused_bwd(static, res, g):
-    depth, skips = static
-    enc_x, enc_d, ws, bs = res
+    depth, skips, input_grads = static[0], static[1], static[-1]
+    xin, ws, bs = res
+    consts = _enc_const_args(static)
     ws = tuple(w.astype(MATMUL_DTYPE) for w in ws)
-    n = enc_x.shape[0]
+    n = xin.shape[0]
     tile = BWD_TILE
     grid = (n // tile,)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
     out_shapes = (
-        jax.ShapeDtypeStruct(enc_x.shape, jnp.float32),
-        jax.ShapeDtypeStruct(enc_d.shape, jnp.float32),
+        jax.ShapeDtypeStruct(xin.shape, jnp.float32),
         tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws),
         tuple(jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs),
     )
     flat_outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, depth, skips),
+        functools.partial(_bwd_kernel, depth, skips, input_grads),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, enc_x.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, xin.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, enc_d.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *[full(c) for c in consts],
             *[full(w) for w in ws],
             *[full(b) for b in bs],
             pl.BlockSpec((tile, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, enc_x.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, xin.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, enc_d.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(s.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM) for s in out_shapes[1]],
             *[pl.BlockSpec(s.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM) for s in out_shapes[2]],
-            *[pl.BlockSpec(s.shape, lambda i: (0, 0),
-                           memory_space=pltpu.VMEM) for s in out_shapes[3]],
         ],
         out_shape=[
-            out_shapes[0], out_shapes[1], *out_shapes[2], *out_shapes[3],
+            out_shapes[0], *out_shapes[1], *out_shapes[2],
         ],
-    )(enc_x, enc_d, *ws, *bs, g)
-    d_enc_x, d_enc_d = flat_outs[0], flat_outs[1]
+    )(xin, *consts, *ws, *bs, g)
+    d_xin = flat_outs[0]
     n_w = depth + 4
-    d_ws = tuple(flat_outs[2:2 + n_w])
-    d_bs = tuple(flat_outs[2 + n_w:])
-    return d_enc_x, d_enc_d, d_ws, d_bs
+    d_ws = tuple(flat_outs[1:1 + n_w])
+    d_bs = tuple(flat_outs[1 + n_w:])
+    return d_xin, d_ws, d_bs
 
 
 _fused_call.defvjp(_fused_fwd, _fused_bwd)
@@ -333,28 +460,35 @@ def nerf_mlp_fused(
     cfg: NeRFModelConfig,
     pts: jnp.ndarray,                 # [P, 3] flat points
     viewdirs: Optional[jnp.ndarray],  # [P, 3] flat dirs (required)
+    input_grads: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in for encode+apply_nerf: [P, 3](+dirs) → [P, 4] raw rgbσ."""
+    """Drop-in for encode+apply_nerf: [P, 3](+dirs) → [P, 4] raw rgbσ.
+
+    input_grads=False (default, the renderer's case: rays are data)
+    compiles the d_pts/d_dirs path out of the backward kernel —
+    differentiating w.r.t. pts/viewdirs then yields ZEROS, not an error;
+    pass input_grads=True when input gradients are actually needed."""
     assert cfg.use_viewdirs and viewdirs is not None, (
         "fused kernel requires the viewdir head; use the XLA path otherwise"
     )
     P = pts.shape[0]
-    enc_x = positional_encoding(pts, cfg.multires)
-    enc_d = positional_encoding(viewdirs, cfg.multires_views)
     in_pad = _round_up(cfg.input_ch, 64)
     vd_pad = _round_up(cfg.input_ch_views, 32)
-    enc_x = _pad_cols(enc_x, in_pad)
-    enc_d = _pad_cols(enc_d, vd_pad)
 
+    z1 = jnp.zeros((P, 1), pts.dtype)
+    xin = jnp.concatenate(
+        [pts, z1, viewdirs.astype(pts.dtype), z1], axis=-1
+    )                                                     # [P, 8]
     n = _round_up(P, TILE)
     if n != P:
-        enc_x = jnp.pad(enc_x, ((0, n - P), (0, 0)))
-        enc_d = jnp.pad(enc_d, ((0, n - P), (0, 0)))
+        xin = jnp.pad(xin, ((0, n - P), (0, 0)))
 
     ws, bs, _ = _prep(params, cfg)
-    out = _fused_call(
-        (cfg.netdepth, tuple(cfg.skips)), enc_x, enc_d, tuple(ws), tuple(bs)
+    static = (
+        cfg.netdepth, tuple(cfg.skips), cfg.multires, cfg.multires_views,
+        3, in_pad, vd_pad, bool(input_grads),
     )
+    out = _fused_call(static, xin, tuple(ws), tuple(bs))
     rgb_b, alpha_b = params["rgb_b"], params["alpha_b"]
     raw = jnp.concatenate(
         [out[:, :3] + rgb_b, out[:, 3:4] + alpha_b], axis=-1

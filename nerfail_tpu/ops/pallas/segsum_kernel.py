@@ -101,6 +101,12 @@ class ScatterPlan:
 
 def _build_single(flat_idx, w_flat, pix, num_points):
     """One shard's row-based layout. flat_idx/w_flat/pix are 1D pair lists."""
+    if flat_idx.size and int(flat_idx.max()) >= num_points:
+        raise ValueError(
+            f"neighbor index {int(flat_idx.max())} out of range for a "
+            f"{num_points}-point set — idx table and perturbation point "
+            f"set disagree"
+        )
     n_chunks = -(-num_points // CHUNK)
     chunk_of = (flat_idx // CHUNK).astype(np.int32)
     chunk_counts = np.bincount(chunk_of, minlength=n_chunks)

@@ -64,7 +64,9 @@ def test_fused_backward_matches_xla():
     vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
 
     def loss_fused(p, pts):
-        return jnp.sum(jnp.tanh(nerf_mlp_fused(p, cfg, pts, vd)))
+        return jnp.sum(jnp.tanh(
+            nerf_mlp_fused(p, cfg, pts, vd, input_grads=True)
+        ))
 
     def loss_ref(p, pts):
         return jnp.sum(jnp.tanh(_reference_raw(p, cfg, pts, vd)))
@@ -92,3 +94,25 @@ def test_fused_rejects_no_viewdirs():
     params = init_nerf_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(AssertionError):
         nerf_mlp_fused(params, cfg, jnp.zeros((4, 3)), None)
+
+
+def test_input_grads_flag_gates_d_pts():
+    from nerfail_tpu.ops.pallas.mlp_kernel import nerf_mlp_fused
+
+    cfg = NeRFModelConfig(netdepth=2, netwidth=256)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+    vd = jax.random.normal(jax.random.PRNGKey(2), (512, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+
+    def loss(p, pts, ig):
+        return jnp.sum(nerf_mlp_fused(p, cfg, pts, vd, input_grads=ig))
+
+    gp0, gx0 = jax.grad(loss, argnums=(0, 1))(params, pts, False)
+    gp1, gx1 = jax.grad(loss, argnums=(0, 1))(params, pts, True)
+    assert float(jnp.abs(gx0).max()) == 0.0          # compiled out
+    assert float(jnp.abs(gx1).max()) > 0.0
+    for k in gp0:                                     # param grads unaffected
+        np.testing.assert_allclose(
+            np.asarray(gp0[k]), np.asarray(gp1[k]), rtol=1e-6, atol=1e-6
+        )

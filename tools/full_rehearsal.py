@@ -13,11 +13,15 @@ procedural stand-in). Proves:
   * epochs complete at full scale with the planned Pallas splat backward,
   * mid-attack checkpoint/resume works at this scale.
 
-Writes a JSON report to tools/rehearsal_report.json (committed as round
-evidence) and prints progress. Runtime: ~10-20 min table build (one-off)
-+ the attack epochs.
+Two phases so the table prep (pure host work: analytic geometry + KD-tree
+k-NN + Gaussian weights) never holds the TPU client open:
 
-Run: env PYTHONPATH=/root/repo:/root/.axon_site python tools/full_rehearsal.py
+  python tools/full_rehearsal.py phase=tables   # CPU-only, caches to disk
+  python tools/full_rehearsal.py phase=attack   # TPU, loads the cache
+  python tools/full_rehearsal.py                # both (tables skip if cached)
+
+Writes a JSON report to tools/rehearsal_report.json (committed as round
+evidence) and prints progress.
 """
 
 from __future__ import annotations
@@ -31,6 +35,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+CACHE = os.environ.get("REHEARSAL_CACHE", "/tmp/rehearsal_tables")
+REPORT = os.path.join(os.path.dirname(__file__), "rehearsal_report.json")
+
 
 def device_mem_gb():
     import jax
@@ -43,28 +50,10 @@ def device_mem_gb():
     }
 
 
-def main(n_views=300, H=800, epochs=2, batch=8):
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from nerfail_tpu.attacks.forward import (
-        make_classifier_logits_fn, zero_init_mask,
-    )
-    from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
-    from nerfail_tpu.config import AttackConfig
+def _scene(n_views, H):
     from nerfail_tpu.data.poses import pose_spherical
-    from nerfail_tpu.data.synthetic import _shade, analytic_coord_map
-    from nerfail_tpu.models.classifiers import get_classifier
-    from nerfail_tpu.ops.rays import get_rays_np
-    from nerfail_tpu.pointset.knn_build import build_index_and_dist
-    from nerfail_tpu.pointset.weights import gauss_weights
-    from nerfail_tpu.train.classifier_trainer import init_classifier
 
-    report = {"n_views": n_views, "H": H, "epochs": epochs, "batch": batch}
-    t_all = time.time()
     rng = np.random.default_rng(0)
-
     camera_angle_x = 0.6911112070083618
     focal = 0.5 * H / np.tan(0.5 * camera_angle_x)
     K = np.array([[focal, 0, H / 2], [0, focal, H / 2], [0, 0, 1]],
@@ -74,44 +63,105 @@ def main(n_views=300, H=800, epochs=2, batch=8):
     poses = np.stack([
         pose_spherical(t, p, 4.0) for t, p in zip(thetas, phis)
     ]).astype(np.float32)
+    return K, poses
 
-    # ---- stage 1+2: views + point set (analytic stand-in for pts_max) ---
-    p_masks = 3
-    mask_views = [0, 1, 2]
+
+def _gauss_weights_np(dist: np.ndarray, c: float) -> np.ndarray:
+    """Host twin of pointset/weights.gauss_weights (GaussNet.py:174-181)."""
+    w = np.exp(-0.5 * (dist / c) ** 2)
+    s = w.sum(-1, keepdims=True)
+    return np.where(s > 0, w / (s + 1e-3), 0.0).astype(np.float32)
+
+
+def build_tables(n_views=300, H=800):
+    """Phase 1 (host-only): views, point set, k-NN tables → disk memmaps."""
+    from nerfail_tpu.data.synthetic import _shade, analytic_coord_map
+    from nerfail_tpu.ops.rays import get_rays_np
+    from nerfail_tpu.pointset.knn_build import knn_host_tree
+
+    os.makedirs(CACHE, exist_ok=True)
+    meta_path = os.path.join(CACHE, "meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("n_views") == n_views and meta.get("H") == H \
+                and meta.get("done"):
+            print(f"[tables] cache hit at {CACHE}", flush=True)
+            return meta
+    K, poses = _scene(n_views, H)
+
+    p_masks, mask_views = 3, [0, 1, 2]
     t0 = time.time()
     S = np.concatenate([
         analytic_coord_map(poses[v], H, H, K).reshape(-1, 3)
         for v in mask_views
-    ])
+    ]).astype(np.float32)
     M = S.shape[0]
     assert M == p_masks * H * H
-    S_dev = jnp.asarray(S)
 
-    ori_imgs = np.empty((n_views, H, H, 4), np.uint8)
-    weights = np.empty((n_views, H, H, 8), np.float32)
-    idx = np.empty((n_views, H, H, 8), np.int32)
+    mm = lambda name, shape, dtype: np.lib.format.open_memmap(
+        os.path.join(CACHE, name), mode="w+", dtype=dtype, shape=shape
+    )
+    ori_imgs = mm("ori.npy", (n_views, H, H, 4), np.uint8)
+    weights = mm("w.npy", (n_views, H, H, 8), np.float32)
+    idx = mm("i.npy", (n_views, H, H, 8), np.int32)
     c = 0.02              # reference c at 800² (GaussNet.py:79)
     for v in range(n_views):
         o, d = get_rays_np(H, H, K, poses[v])
         rgba = _shade(o.reshape(-1, 3), d.reshape(-1, 3)).reshape(H, H, 4)
         ori_imgs[v] = np.clip(rgba * 255.0, 0, 255).astype(np.uint8)
         cm = analytic_coord_map(poses[v], H, H, K)
-        dist, i8 = build_index_and_dist(cm, S_dev, k=8)
-        weights[v] = np.asarray(gauss_weights(jnp.asarray(dist), c=c))
-        idx[v] = i8
-        if (v + 1) % 50 == 0:
+        dist, i8 = knn_host_tree(cm.reshape(-1, 3), S, k=8)
+        weights[v] = _gauss_weights_np(dist, c).reshape(H, H, 8)
+        idx[v] = i8.reshape(H, H, 8)
+        if (v + 1) % 25 == 0:
             print(f"[tables] {v + 1}/{n_views} views "
                   f"({time.time() - t0:.0f}s)", flush=True)
-    report["table_build_s"] = round(time.time() - t0, 1)
-    report["host_table_gb"] = round(
-        (weights.nbytes + idx.nbytes + ori_imgs.nbytes) / (1 << 30), 2
-    )
-    print(f"[tables] built in {report['table_build_s']}s, "
-          f"{report['host_table_gb']} GB host", flush=True)
+    for a in (ori_imgs, weights, idx):
+        a.flush()
+    np.save(os.path.join(CACHE, "S.npy"), S)
+    meta = {
+        "n_views": n_views, "H": H, "M": M, "done": True,
+        "table_build_s": round(time.time() - t0, 1),
+        "host_table_gb": round(
+            (weights.nbytes + idx.nbytes + ori_imgs.nbytes) / (1 << 30), 2
+        ),
+    }
+    json.dump(meta, open(meta_path, "w"))
+    print(f"[tables] built in {meta['table_build_s']}s, "
+          f"{meta['host_table_gb']} GB on disk", flush=True)
+    return meta
 
-    # ---- classifier: inception-v3 at 299² (randomly initialized — the
+
+def run_attack(n_views=300, H=800, epochs=2, batch=8):
+    """Phase 2 (TPU): full-scale NeRFail-S over the cached tables."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerfail_tpu.attacks.forward import (
+        make_classifier_logits_fn, zero_init_mask,
+    )
+    from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
+    from nerfail_tpu.config import AttackConfig
+    from nerfail_tpu.models.classifiers import get_classifier
+    from nerfail_tpu.train.classifier_trainer import init_classifier
+
+    meta = json.load(open(os.path.join(CACHE, "meta.json")))
+    assert meta["n_views"] == n_views and meta["H"] == H and meta["done"]
+    report = {"n_views": n_views, "H": H, "epochs": epochs, "batch": batch,
+              "table_build_s": meta["table_build_s"],
+              "host_table_gb": meta["host_table_gb"]}
+    t_all = time.time()
+
+    ld = lambda name: np.lib.format.open_memmap(
+        os.path.join(CACHE, name), mode="r"
+    )
+    ori_imgs, weights, idx = ld("ori.npy"), ld("w.npy"), ld("i.npy")
+    mask_views = [0, 1, 2]
+
+    # classifier: inception-v3 at 299² (randomly initialized — the
     # rehearsal proves scale/memory/speed; trained-classifier ASR is
-    # demonstrated at modest resolution in tests/test_asr.py) ------------
+    # demonstrated at modest resolution in tests/test_asr.py)
     model = get_classifier("inception")
     cstate = init_classifier(
         model, jax.random.PRNGKey(0), 299, optax.sgd(1e-3)
@@ -144,7 +194,8 @@ def main(n_views=300, H=800, epochs=2, batch=8):
 
     t0 = time.time()
     res = nerfail_s_attack(
-        delta0, weights, idx, ori_imgs.astype(np.float32), labels,
+        delta0, np.asarray(weights), np.asarray(idx),
+        np.asarray(ori_imgs).astype(np.float32), labels,
         logits_fn, cfg, resize_to=299, log_fn=log,
         checkpoint_path=ckpt, checkpoint_every=1,
         plan_device_budget=2 << 30,
@@ -156,16 +207,37 @@ def main(n_views=300, H=800, epochs=2, batch=8):
     report["delta_abs_max"] = float(np.abs(res.delta[..., :3]).max())
     report["total_s"] = round(time.time() - t_all, 1)
 
-    out = os.path.join(os.path.dirname(__file__), "rehearsal_report.json")
-    with open(out, "w") as f:
+    with open(REPORT, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
-    print(f"[rehearsal] report written to {out}")
+    print(f"[rehearsal] report written to {REPORT}")
+
+
+def main(phase="both", n_views=300, H=800, epochs=2, batch=8):
+    if phase == "tables":
+        # table prep is pure host work — keep the TPU client closed
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        build_tables(n_views, H)
+        return
+    if phase == "both":
+        # tables in a CPU-pinned subprocess so this process's jax can
+        # still open the TPU for the attack phase afterwards
+        import subprocess
+
+        rc = subprocess.call([
+            sys.executable, os.path.abspath(__file__),
+            "phase=tables", f"n_views={n_views}", f"H={H}",
+        ])
+        if rc != 0:
+            raise SystemExit(rc)
+    run_attack(n_views, H, epochs, batch)
 
 
 if __name__ == "__main__":
     kw = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        kw[k] = int(v)
+        kw[k] = v if k == "phase" else int(v)
     main(**kw)
