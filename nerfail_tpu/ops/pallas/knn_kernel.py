@@ -169,20 +169,15 @@ def _candidates(
     """Exact bbox pruning: per query tile, the point tiles that can hold
     one of its k nearest. Returns [n_q, max_c] int32 padded with -1."""
     # lower bound between boxes, per dim: gap = max(0, plo-qhi, qlo-phi)
-    gap = np.maximum(
-        0.0,
-        np.maximum(
-            p_lo[None, :, :] - q_hi[:, None, :],
-            q_lo[:, None, :] - p_hi[None, :, :],
-        ),
-    )
-    lb2 = (gap ** 2).sum(-1)                                   # [n_q, n_p]
+    q_lo = q_lo.astype(np.float32)[:, None, :]
+    q_hi = q_hi.astype(np.float32)[:, None, :]
+    p_lo = p_lo.astype(np.float32)[None, :, :]
+    p_hi = p_hi.astype(np.float32)[None, :, :]
+    gap = np.maximum(0.0, np.maximum(p_lo - q_hi, q_lo - p_hi))
+    lb2 = np.einsum("qpd,qpd->qp", gap, gap)                   # [n_q, n_p]
     # upper bound: farthest corner distance, per dim the larger overhang
-    span = np.maximum(
-        np.abs(p_hi[None, :, :] - q_lo[:, None, :]),
-        np.abs(q_hi[:, None, :] - p_lo[None, :, :]),
-    )
-    ub2 = (span ** 2).sum(-1)
+    span = np.maximum(np.abs(p_hi - q_lo), np.abs(q_hi - p_lo))
+    ub2 = np.einsum("qpd,qpd->qp", span, span)
     # τ²: the k-th NN of every query in tile i is ≤ the best full tile's
     # max-corner distance (a full tile holds tp ≥ k points)
     full = ub2[:, :n_full_p] if n_full_p else ub2
@@ -191,68 +186,139 @@ def _candidates(
     # bucket the pad width so repeated calls (e.g. one per image) hit the
     # same compiled kernel instead of retracing per distinct max_c
     max_c = max(int(keep.sum(1).max()), 1)
-    max_c = min(-(-max_c // 16) * 16, lb2.shape[1])
+    max_c = min(-(-max_c // 64) * 64, lb2.shape[1])
     n_q = lb2.shape[0]
-    cand = np.full((n_q, max_c), -1, np.int32)
-    order = np.argsort(np.where(keep, lb2, np.inf), axis=1)
+    order = np.argsort(np.where(keep, lb2, np.inf), axis=1)[:, :max_c]
     counts = keep.sum(1)
-    for i in range(n_q):
-        cand[i, : counts[i]] = order[i, : counts[i]]
+    col = np.arange(max_c)[None, :]
+    cand = np.where(col < counts[:, None], order, -1).astype(np.int32)
     return cand
+
+
+class KnnPrep:
+    """Reusable point-side preparation for `knn_pallas`.
+
+    Building this once per point set (Morton sort, transpose-pack, tile
+    bboxes, device upload) and passing it for every image's query sweep
+    amortizes the O(M log M) host work across the pipeline's hundreds of
+    images (create_index_and_dist.py:63-106 reloads S per split; here S
+    is prepped exactly once)."""
+
+    def __init__(self, points: np.ndarray, tp: int = 512,
+                 prune: bool = True):
+        points = np.asarray(points, np.float32)
+        M = points.shape[0]
+        self.M, self.tp, self.prune = M, tp, prune
+        self.pperm = _morton_order(points) if prune else np.arange(M)
+        ps = points[self.pperm]
+        Mp = -(-M // tp) * tp
+        self.Mp = Mp
+        ppad = np.concatenate([ps, np.full((Mp - M, 3), 1e30, np.float32)])
+        self.ppk = jnp.asarray(np.ascontiguousarray(ppad.T))   # [3, Mp]
+        self.n_p = Mp // tp
+        self.n_full_p = self.n_p if M == Mp else self.n_p - 1
+        if prune and self.n_p > 1:
+            self.p_lo, self.p_hi = _tile_bboxes(
+                np.concatenate([ps, np.repeat(ps[-1:], Mp - M, 0)]), tp
+            )
+        else:
+            self.p_lo = self.p_hi = None
+
+
+# the candidate table is scalar-prefetched to SMEM (~1 MB on v5e); group
+# query tiles per kernel call so rows × max_c ints stay under this budget
+_SMEM_CAND_INTS = 160 * 1024
 
 
 def knn_pallas(
     queries: np.ndarray,       # [Q, 3]
-    points: np.ndarray,        # [M, 3]
+    points: Optional[np.ndarray] = None,   # [M, 3]
     k: int = 8,
     tq: int = 256,
     tp: int = 512,
     prune: bool = True,
     interpret: bool = False,
+    prep: Optional[KnnPrep] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN (dist ascending, global idx) of each query in `points`.
 
     Drop-in for `knn_topk`/`knn_host_tree` on the TPU; Euclidean outputs
     match the reference cdist semantics (create_index_and_dist.py:133-137).
+    Pass a `KnnPrep` built once per point set to amortize the point-side
+    host prep across many query images. Query tiles are grouped into as
+    many kernel calls as the SMEM candidate-table budget requires, so
+    full-image sweeps (640K queries × 1.92M points) run without blowing
+    the ~1 MB scalar-prefetch memory.
     """
     queries = np.asarray(queries, np.float32)
-    points = np.asarray(points, np.float32)
-    Q, M = queries.shape[0], points.shape[0]
+    if prep is None:
+        prep = KnnPrep(points, tp=tp, prune=prune)
+    tp, prune, M = prep.tp, prep.prune, prep.M
+    Q = queries.shape[0]
 
     qperm = _morton_order(queries) if prune else np.arange(Q)
-    pperm = _morton_order(points) if prune else np.arange(M)
     qs = queries[qperm]
-    ps = points[pperm]
 
     Qp = -(-Q // tq) * tq
-    Mp = -(-M // tp) * tp
     qpk = np.zeros((Qp, 8), np.float32)
     qpk[:Q, :3] = qs
     # pad queries with the last real query (harmless duplicate work)
     if Qp != Q:
         qpk[Q:, :3] = qs[-1]
-    ppad = np.concatenate([ps, np.full((Mp - M, 3), 1e30, np.float32)])
-    ppk = np.ascontiguousarray(ppad.T)                         # [3, Mp]
 
-    n_q, n_p = Qp // tq, Mp // tp
-    if prune and n_p > 1:
+    n_q = Qp // tq
+    if prune and prep.n_p > 1:
         q_lo, q_hi = _tile_bboxes(qpk[:, :3], tq)
-        p_lo, p_hi = _tile_bboxes(
-            np.concatenate([ps, np.repeat(ps[-1:], Mp - M, 0)]), tp
+        cand = _candidates(
+            q_lo, q_hi, prep.p_lo, prep.p_hi, prep.n_full_p, k, tp
         )
-        n_full_p = n_p if M == Mp else n_p - 1
-        cand = _candidates(q_lo, q_hi, p_lo, p_hi, n_full_p, k, tp)
     else:
-        cand = np.tile(np.arange(n_p, dtype=np.int32), (n_q, 1))
+        cand = np.tile(np.arange(prep.n_p, dtype=np.int32), (n_q, 1))
 
-    d, idx = _knn_call(
-        jnp.asarray(qpk), jnp.asarray(ppk), jnp.asarray(cand),
-        k=k, tq=tq, tp=tp, m_total=M, interpret=interpret,
+    # Group query tiles into kernel calls that (a) fit the SMEM candidate
+    # budget and (b) are shape-homogeneous: tiles are bucketed by their
+    # candidate count rounded to a power of two ≥64, so surface tiles
+    # (tight pruning, ~64-128 candidates) batch thousands of rows per
+    # call while the few background tiles (weak pruning) go in narrow
+    # calls — and every (rows, width) pair is a power of two, keeping the
+    # compiled-kernel set small and stable across images.
+    counts = np.maximum((cand >= 0).sum(1), 1)
+    widths = np.minimum(
+        64 * 2 ** np.ceil(np.log2(counts / 64).clip(0)).astype(np.int64),
+        cand.shape[1],
     )
-    d = np.sqrt(np.maximum(np.asarray(d[:Q]), 0.0))
-    idx = np.asarray(idx[:Q])
+    qtiles = qpk.reshape(n_q, tq, 8)
+    d = np.empty((Qp, k), np.float32)
+    idx = np.empty((Qp, k), np.int32)
+    for w in np.unique(widths):
+        tiles = np.nonzero(widths == w)[0]
+        rows_cap = max(_SMEM_CAND_INTS // int(w), 1)
+        rows_cap = 2 ** int(np.floor(np.log2(rows_cap)))
+        for c0 in range(0, len(tiles), rows_cap):
+            chunk = tiles[c0: c0 + rows_cap]
+            rows = min(2 ** int(np.ceil(np.log2(len(chunk)))), rows_cap)
+            qg = qtiles[chunk]
+            cg = cand[chunk, : int(w)]
+            if rows != len(chunk):          # pad: repeat row 0, cand = -1
+                pad = rows - len(chunk)
+                qg = np.concatenate([qg, np.repeat(qg[:1], pad, 0)])
+                cg = np.concatenate(
+                    [cg, np.full((pad, int(w)), -1, np.int32)]
+                )
+            dg, ig = _knn_call(
+                jnp.asarray(qg.reshape(-1, 8)), prep.ppk,
+                jnp.asarray(np.ascontiguousarray(cg)),
+                k=k, tq=tq, tp=tp, m_total=M, interpret=interpret,
+            )
+            d.reshape(n_q, tq, k)[chunk] = \
+                np.asarray(dg).reshape(rows, tq, k)[: len(chunk)]
+            idx.reshape(n_q, tq, k)[chunk] = \
+                np.asarray(ig).reshape(rows, tq, k)[: len(chunk)]
+    d = d[:Q]
+    idx = idx[:Q]
+    d = np.sqrt(np.maximum(d, 0.0))
     # undo both permutations
-    gidx = pperm[np.minimum(idx, M - 1)].astype(np.int32)
+    gidx = prep.pperm[np.minimum(idx, M - 1)].astype(np.int32)
     out_d = np.empty_like(d)
     out_i = np.empty_like(gidx)
     out_d[qperm] = d

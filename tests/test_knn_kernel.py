@@ -96,3 +96,43 @@ def test_morton_order_locality():
     lo, hi = _tile_bboxes(xs, 256)
     diag = np.linalg.norm(hi - lo, axis=1).mean()
     assert diag < 0.75 * np.linalg.norm(x.max(0) - x.min(0))
+
+
+def test_knn_pallas_grouped_calls_match_brute(monkeypatch):
+    """Force the SMEM candidate budget low enough that one image sweep
+    splits into many width-bucketed kernel calls (the full-scale path:
+    640K queries × 1.92M points cannot prefetch one cand table)."""
+    import nerfail_tpu.ops.pallas.knn_kernel as KK
+
+    monkeypatch.setattr(KK, "_SMEM_CAND_INTS", 64)
+    rng = np.random.default_rng(7)
+    # near cluster + far shell → wildly different per-tile cand widths
+    q = np.concatenate([
+        rng.uniform(-1, 1, (512, 3)),
+        rng.uniform(-8, 8, (256, 3)),
+    ]).astype(np.float32)
+    p = np.concatenate([
+        rng.uniform(-1, 1, (1500, 3)),
+        rng.uniform(-8, 8, (548, 3)),
+    ]).astype(np.float32)
+    prep = KK.KnnPrep(p, tp=128)
+    d, i = knn_pallas(q, prep=prep, k=8, tq=64, interpret=True)
+    bd, bi = _brute(q, p, 8)
+    np.testing.assert_allclose(d, bd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i, bi)
+
+
+def test_knn_prep_reused_across_images():
+    rng = np.random.default_rng(8)
+    p = rng.uniform(-2, 2, (900, 3)).astype(np.float32)
+    prep = __import__(
+        "nerfail_tpu.ops.pallas.knn_kernel", fromlist=["KnnPrep"]
+    ).KnnPrep(p, tp=128)
+    for seed in (1, 2):
+        q = np.random.default_rng(seed).uniform(
+            -2, 2, (200, 3)
+        ).astype(np.float32)
+        d, i = knn_pallas(q, prep=prep, k=8, tq=64, interpret=True)
+        bd, bi = _brute(q, p, 8)
+        np.testing.assert_allclose(d, bd, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i, bi)
