@@ -225,9 +225,11 @@ class KnnPrep:
             self.p_lo = self.p_hi = None
 
 
-# the candidate table is scalar-prefetched to SMEM (~1 MB on v5e); group
-# query tiles per kernel call so rows × max_c ints stay under this budget
-_SMEM_CAND_INTS = 160 * 1024
+# the candidate table is scalar-prefetched to SMEM (~1 MB on v5e) and the
+# prefetch machinery holds TWO copies of the operand (copy + in-flight
+# buffer, observed in the compiler's scoped-smem accounting); group query
+# tiles per kernel call so rows × max_c ints stay under this budget
+_SMEM_CAND_INTS = 96 * 1024
 
 
 def knn_pallas(
