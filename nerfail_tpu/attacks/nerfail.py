@@ -169,6 +169,7 @@ def nerfail_attack(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     plan_device_budget: int = 2 << 30,
+    plan_cache: Optional[DeviceBudgetCache] = None,
 ) -> AttackResult:
     n = ori_imgs.shape[0]
     epochs = epochs if epochs is not None else cfg.attack_epochs
@@ -199,8 +200,9 @@ def nerfail_attack(
         return out["logits"], out["ori_logits"]
 
     # static per-batch tables + combined DeepFool scatter plans, device-
-    # pinned under the byte budget, streamed (async) beyond it
-    cache = DeviceBudgetCache(plan_device_budget)
+    # pinned under the byte budget, streamed (async) beyond it; streamed
+    # entries stay host-resident so plan builds never repeat across epochs
+    cache = plan_cache or DeviceBudgetCache(plan_device_budget)
 
     def build_batch(s: int):
         ids, valid = _nerfail_batch_ids(s, n, view_batch)

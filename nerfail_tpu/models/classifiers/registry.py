@@ -18,7 +18,7 @@ import flax.linen as nn
 from nerfail_tpu.models.classifiers.inception_v3 import InceptionV3
 from nerfail_tpu.models.classifiers.incresv2 import InceptionResNetV2
 from nerfail_tpu.models.classifiers.resnet import ResNet50
-from nerfail_tpu.models.classifiers.simple_cnn import SimpleCNN
+from nerfail_tpu.models.classifiers.simple_cnn import MyCNN, SimpleCNN
 from nerfail_tpu.models.classifiers.small_nets import AlexNet, MobileNetV2
 from nerfail_tpu.models.classifiers.densenet import DenseNet121
 from nerfail_tpu.models.classifiers.efficientnet import EfficientNetB0
@@ -41,7 +41,11 @@ CLASSIFIER_REGISTRY: Dict[str, Tuple[Callable[..., nn.Module], Optional[int]]] =
     "swin_b": (lambda n=8: SwinB(num_classes=n), 224),
     "vit_b_16": (lambda n=8: ViT(num_classes=n), 224),
     "mixer_b": (lambda n=8: MlpMixer(num_classes=n), 224),
+    # my_model: resolution-flexible TPU redesign (SAME pads + GAP head);
+    # my_cnn: the exact reference topology (MyModel.py:5-53, 800²-pinned),
+    # golden-validated against the executed torch reference
     "my_model": (lambda n=8: SimpleCNN(num_classes=n), None),
+    "my_cnn": (lambda n=8: MyCNN(num_classes=n), None),
 }
 
 

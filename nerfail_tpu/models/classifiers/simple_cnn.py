@@ -29,3 +29,29 @@ class SimpleCNN(nn.Module):
         x = global_avg_pool(x)
         x = nn.relu(nn.Dense(512)(x))
         return nn.Dense(self.num_classes)(x)
+
+
+class MyCNN(nn.Module):
+    """Exact twin of the reference MyCNN (model/MyModel.py:5-53).
+
+    Unlike SimpleCNN above, this keeps every reference quirk so imported
+    torch weights reproduce the logits bit-for-bit-ish: VALID (padding=0)
+    convs, floor-dividing 2×2 max pools, raw 0-255 input with no scaling,
+    and a hard flatten whose 1024 features pin the input to 800² (the
+    resolution the 2D baselines feed it). The flatten runs in torch's
+    (c, h, w) order so fc1's kernel imports through the generic order-zip
+    (torch_import) without a row permutation.
+    """
+
+    num_classes: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for feats in (32, 64, 128, 256, 256, 128, 64):
+            x = nn.Conv(feats, (3, 3), padding="VALID")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), (2, 2))
+        b = x.shape[0]
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)  # NCHW flatten
+        x = nn.relu(nn.Dense(512)(x))
+        return nn.Dense(self.num_classes)(x)

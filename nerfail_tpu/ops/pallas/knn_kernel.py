@@ -254,7 +254,15 @@ def knn_pallas(
     """
     queries = np.asarray(queries, np.float32)
     if prep is None:
+        if points is None:
+            raise ValueError(
+                "knn_pallas needs either `points` or a prebuilt `prep`"
+            )
         prep = KnnPrep(points, tp=tp, prune=prune)
+    elif points is not None:
+        raise ValueError("pass `points` OR `prep`, not both — the prep "
+                         "already owns a (possibly different) point set")
+    # the prep's tile size / pruning choice wins over the call-site args
     tp, prune, M = prep.tp, prep.prune, prep.M
     Q = queries.shape[0]
 
@@ -285,10 +293,17 @@ def knn_pallas(
     # calls — and every (rows, width) pair is a power of two, keeping the
     # compiled-kernel set small and stable across images.
     counts = np.maximum((cand >= 0).sum(1), 1)
-    widths = np.minimum(
-        64 * 2 ** np.ceil(np.log2(counts / 64).clip(0)).astype(np.int64),
-        cand.shape[1],
-    )
+    widths = 64 * 2 ** np.ceil(np.log2(counts / 64).clip(0)).astype(np.int64)
+    # keep every (rows, width) pair an exact power of two: pad the
+    # candidate table with -1 columns up to the widest bucket instead of
+    # clipping to max_c (a per-image multiple of 64 that would otherwise
+    # add one fresh compiled shape per distinct image — ADVICE r3)
+    w_max = int(widths.max())
+    if w_max > cand.shape[1]:
+        cand = np.concatenate(
+            [cand, np.full((cand.shape[0], w_max - cand.shape[1]), -1,
+                           np.int32)], axis=1,
+        )
     qtiles = qpk.reshape(n_q, tq, 8)
     d = np.empty((Qp, k), np.float32)
     idx = np.empty((Qp, k), np.int32)

