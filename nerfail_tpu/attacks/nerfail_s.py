@@ -64,7 +64,8 @@ def make_nerfail_s_step(
 
     @jax.jit
     def step(delta, delta0, weights, idx, ori_img, labels, valid,
-             plan_rc=None, plan_pix=None, plan_w=None, plan_local=None):
+             plan_rc=None, plan_pix=None, plan_w=None, plan_local=None,
+             plan_expand=None):
         ori_img = ori_img.astype(jnp.float32)   # tables travel uint8
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
@@ -82,7 +83,7 @@ def make_nerfail_s_step(
             S = plan_rc.shape[0]
             plan = ScatterPlan(
                 pix_id=plan_pix, w=plan_w, local=plan_local,
-                row_chunk=plan_rc,
+                row_chunk=plan_rc, expand=plan_expand,
                 num_points=delta.reshape(-1, 4).shape[0],
                 n_pixels=idx[..., 0].size // S,
                 n_pairs=-1,
@@ -206,7 +207,8 @@ def nerfail_s_attack(
                 pair_mask=ori_imgs[ids][..., 3:] > 0,
                 n_shards=n_shards,
             )
-            arrays += [plan.row_chunk, plan.pix_id, plan.w, plan.local]
+            arrays += [plan.row_chunk, plan.pix_id, plan.w, plan.local,
+                       plan.expand]
         return tuple(arrays)
 
     starts = list(range(0, n, bs))

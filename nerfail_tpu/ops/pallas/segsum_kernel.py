@@ -15,16 +15,25 @@ table. This module reformulates the scatter as exactly one such gather
 plus MXU work:
 
   host (once per attack batch; the neighbor tables are static):
-    bucket pairs by point-id chunk (512 consecutive ids). Each chunk
-    gets ceil(count / ROW_PB) fixed-width rows (≥1 so every output
-    chunk is visited) → `ScatterPlan` of HOST numpy arrays:
+    bucket pairs by point-id chunk (512 consecutive ids). Each NONEMPTY
+    chunk gets ceil(count / ROW_PB) fixed-width rows addressed by its
+    rank among nonempty chunks (compact id) → `ScatterPlan` of HOST
+    numpy arrays:
       pix_id    [S, n_rows, ROW_PB] — pixel row feeding each pair
       w         [S, n_rows, ROW_PB] — the pair's static gaussian weight
       local     [S, n_rows, ROW_PB] — in-chunk point id (CHUNK ⇒ pad)
-      row_chunk [S, n_rows]         — output chunk per row (sorted)
+      row_chunk [S, n_rows]         — COMPACT output block per row
+                                      (sorted; pad rows → Z = n_rows−1)
+      expand    [S, n_chunks]       — compact block per chunk, or Z for
+                                      chunks with no pairs
     Row-based allocation bounds padding at ROW_PB−1 pairs per *chunk*
     instead of the old layout's global-max-per-chunk width, which blew
-    up multi-GB on skewed point popularity. Plans stay on the host and
+    up multi-GB on skewed point popularity; chunk COMPACTION drops the
+    old one-row-per-empty-chunk floor entirely (at attack scale ~75% of
+    point chunks receive no foreground pairs — those rows, their packed
+    operands, and their kernel passes no longer exist; the dense result
+    is recovered by one chunk-granular gather through `expand`, with
+    block Z kept all-zero by the pad rows). Plans stay on the host and
     are streamed to the device per step (or cached under a byte
     budget by the caller) — never accumulated in HBM. S is the mesh
     "data"-axis size for sharded plans (1 for single-device).
@@ -40,6 +49,9 @@ plus MXU work:
        in VMEM until the index changes.
        (The [C, 512] orientation keeps the 512 axis on the lanes; the
        transposed [512, C=4] product would use 4 of 128 lanes.)
+    3. one row-gather `out[expand]` expands the compact blocks back to
+       the dense [n_chunks·512, C] result (the fast gather regime —
+       ~8 KB contiguous per id).
 
 The contraction runs at Precision.HIGHEST: the one-hot operand is exact,
 but the default single-pass bf16 matmul would shave the contribution
@@ -80,7 +92,8 @@ class ScatterPlan:
     pix_id: np.ndarray     # [S, n_rows, ROW_PB] int32 → pixel row per pair
     w: np.ndarray          # [S, n_rows, ROW_PB] f32 pair weight (0 on pad)
     local: np.ndarray      # [S, n_rows, ROW_PB] int32 in-chunk id (CHUNK=pad)
-    row_chunk: np.ndarray  # [S, n_rows] int32 output chunk per row (sorted)
+    row_chunk: np.ndarray  # [S, n_rows] int32 COMPACT block per row (sorted)
+    expand: np.ndarray     # [S, n_chunks] int32 chunk → compact block (or Z)
     num_points: int        # M (output rows per shard, unpadded)
     n_pixels: int          # pixel-table length the gather expects (per shard)
     n_pairs: int           # kept (unmasked) pairs across all shards
@@ -96,11 +109,14 @@ class ScatterPlan:
     @property
     def nbytes(self) -> int:
         return (self.pix_id.nbytes + self.w.nbytes + self.local.nbytes
-                + self.row_chunk.nbytes)
+                + self.row_chunk.nbytes + self.expand.nbytes)
 
 
 def _build_single(flat_idx, w_flat, pix, num_points):
-    """One shard's row-based layout. flat_idx/w_flat/pix are 1D pair lists."""
+    """One shard's compact row layout. flat_idx/w_flat/pix are 1D pair
+    lists. Returns (pix_id, w, local, row_chunk, expand) with row_chunk
+    holding COMPACT block ids (rank among nonempty chunks) and expand
+    holding −1 for empty chunks (rewritten to Z by build_scatter_plan)."""
     if flat_idx.size and int(flat_idx.max()) >= num_points:
         raise ValueError(
             f"neighbor index {int(flat_idx.max())} out of range for a "
@@ -110,14 +126,16 @@ def _build_single(flat_idx, w_flat, pix, num_points):
     n_chunks = -(-num_points // CHUNK)
     chunk_of = (flat_idx // CHUNK).astype(np.int32)
     chunk_counts = np.bincount(chunk_of, minlength=n_chunks)
-    # every chunk owns ≥1 row so its output block gets zeroed/written
-    rows_per_chunk = np.maximum(-(-chunk_counts // ROW_PB), 1).astype(np.int64)
+    nonempty = chunk_counts > 0
+    rank = (np.cumsum(nonempty) - 1).astype(np.int32)   # compact id
+    rows_per_chunk = np.where(
+        nonempty, -(-chunk_counts // ROW_PB), 0
+    ).astype(np.int64)
     row_start = np.zeros(n_chunks + 1, np.int64)
     np.cumsum(rows_per_chunk, out=row_start[1:])
     n_rows = int(row_start[-1])
-    row_chunk = np.repeat(
-        np.arange(n_chunks, dtype=np.int32), rows_per_chunk
-    )
+    row_chunk = np.repeat(rank, rows_per_chunk)
+    expand = np.where(nonempty, rank, np.int32(-1)).astype(np.int32)
 
     # slot = row_start[chunk]·ROW_PB + rank-within-chunk (rows of one chunk
     # are consecutive, so the flat offset is contiguous per chunk). int16
@@ -140,7 +158,7 @@ def _build_single(flat_idx, w_flat, pix, num_points):
     w_pad[slot] = w_flat[order]
     local[slot] = flat_idx[order] - grouped_chunk * np.int32(CHUNK)
     return (pix_id.reshape(n_rows, ROW_PB), w_pad.reshape(n_rows, ROW_PB),
-            local.reshape(n_rows, ROW_PB), row_chunk)
+            local.reshape(n_rows, ROW_PB), row_chunk, expand)
 
 
 def build_scatter_plan(
@@ -195,8 +213,14 @@ def build_scatter_plan(
         total_pairs += flat.size
         parts.append(_build_single(flat, w_flat, pix, num_points))
 
-    n_rows = max(p[0].shape[0] for p in parts)
-    n_chunks = -(-num_points // CHUNK)
+    # pad every shard to R+1 rows (R = max real rows): the ≥1 all-pad
+    # rows per shard target block Z = R, which both keeps row_chunk
+    # sorted and guarantees Z is visited (zeroed) — expand sends every
+    # empty chunk there. The kernels' compact output has Z+1 = n_rows
+    # blocks; blocks between a shard's compact count and Z are never
+    # written and never read (expand skips them).
+    R = max(p[0].shape[0] for p in parts)
+    n_rows = R + 1
 
     def pad(a, fill):
         r = n_rows - a.shape[0]
@@ -209,8 +233,9 @@ def build_scatter_plan(
         pix_id=np.stack([pad(p[0], 0) for p in parts]),
         w=np.stack([pad(p[1], 0.0) for p in parts]),
         local=np.stack([pad(p[2], CHUNK) for p in parts]),
-        # padding rows target the last chunk (kept sorted) with zero weight
-        row_chunk=np.stack([pad(p[3], n_chunks - 1) for p in parts]),
+        row_chunk=np.stack([pad(p[3], R) for p in parts]),
+        expand=np.stack([np.where(p[4] < 0, np.int32(R), p[4])
+                         for p in parts]),
         num_points=num_points,
         n_pixels=pix_per_shard,
         n_pairs=total_pairs,
@@ -352,13 +377,14 @@ def _pack_T(gT, pix_id, w):
     return jnp.moveaxis(contrib, 0, 1)                   # [n_rows, C, pb]
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(6,))
 def planned_segment_sum_T(
     gT: jnp.ndarray,            # [C, n_pixels] channel-major cotangents
     row_chunk: jnp.ndarray,
     pix_id: jnp.ndarray,
     w: jnp.ndarray,
     local: jnp.ndarray,
+    expand: jnp.ndarray,        # [n_chunks] chunk → compact block
     num_points: int,
 ) -> jnp.ndarray:
     """planned_segment_sum for channel-major input (layout-safe at C>4)."""
@@ -385,22 +411,24 @@ def planned_segment_sum_T(
         functools.partial(_segsum_kernel, channels),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, channels, CHUNK), jnp.float32
+            (n_rows, channels, CHUNK), jnp.float32
         ),
         interpret=_interpret(),
     )(row_chunk, packed)
-    # keep channel-major: [C, n_chunks·512] → slice points
+    # expand compact blocks to the dense result, keep channel-major
+    out = jnp.take(out, expand, axis=0)            # [n_chunks, C, 512]
     out = jnp.moveaxis(out, 1, 0).reshape(channels, n_chunks * CHUNK)
     return out[:, :num_points]
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(6,))
 def planned_segment_sq_T(
     gT: jnp.ndarray,            # [C, n_pixels] channel-major cotangents
     row_chunk: jnp.ndarray,
     pix_id: jnp.ndarray,
     w: jnp.ndarray,
     local: jnp.ndarray,
+    expand: jnp.ndarray,        # [n_chunks] chunk → compact block
     num_points: int,
 ) -> jnp.ndarray:
     """planned_segment_sq for channel-major input: [n_chunks, C] squared
@@ -429,20 +457,21 @@ def planned_segment_sq_T(
         functools.partial(_segsum_sq_kernel, channels),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, 8, channels), jnp.float32
+            (n_rows, 8, channels), jnp.float32
         ),
         interpret=_interpret(),
     )(row_chunk, packed)
-    return out[:, 0, :]
+    return jnp.take(out[:, 0, :], expand, axis=0)   # [n_chunks, C]
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(6,))
 def planned_segment_sq(
     g: jnp.ndarray,             # [n_pixels, C] per-pixel cotangents
     row_chunk: jnp.ndarray,     # [n_rows]
     pix_id: jnp.ndarray,        # [n_rows, ROW_PB]
     w: jnp.ndarray,             # [n_rows, ROW_PB]
     local: jnp.ndarray,         # [n_rows, ROW_PB]
+    expand: jnp.ndarray,        # [n_chunks] chunk → compact block
     num_points: int,
 ) -> jnp.ndarray:
     """Per-chunk squared norms [n_chunks, C] of the segment-sum result —
@@ -450,7 +479,6 @@ def planned_segment_sq(
     materializing the [num_points, C] result."""
     n_rows, pb = pix_id.shape
     channels = g.shape[-1]
-    n_chunks = -(-num_points // CHUNK)
     g_bucketed = jnp.take(
         g, pix_id.reshape(-1), axis=0, mode="clip",
     ).reshape(n_rows, pb, channels)
@@ -475,24 +503,25 @@ def planned_segment_sq(
         functools.partial(_segsum_sq_kernel, channels),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, 8, channels), jnp.float32
+            (n_rows, 8, channels), jnp.float32
         ),
         interpret=_interpret(),
     )(row_chunk, packed)
-    return out[:, 0, :]
+    return jnp.take(out[:, 0, :], expand, axis=0)   # [n_chunks, C]
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(6,))
 def planned_segment_sum(
     g: jnp.ndarray,             # [n_pixels, C] per-pixel cotangents
     row_chunk: jnp.ndarray,     # [n_rows]
     pix_id: jnp.ndarray,        # [n_rows, ROW_PB]
     w: jnp.ndarray,             # [n_rows, ROW_PB]
     local: jnp.ndarray,         # [n_rows, ROW_PB]
+    expand: jnp.ndarray,        # [n_chunks] chunk → compact block
     num_points: int,
 ) -> jnp.ndarray:
     """d_points [num_points, C] = Σ_pairs w·g[pix_id] grouped by point."""
@@ -532,11 +561,12 @@ def planned_segment_sum(
         functools.partial(_segsum_kernel, channels),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, channels, CHUNK), jnp.float32
+            (n_rows, channels, CHUNK), jnp.float32
         ),
         interpret=_interpret(),
     )(row_chunk, packed)
-    # [n_chunks, C, 512] → [n_chunks·512, C]
+    # expand compact → dense: [n_chunks, C, 512] → [n_chunks·512, C]
+    out = jnp.take(out, expand, axis=0)
     out = out.transpose(0, 2, 1).reshape(n_chunks * CHUNK, channels)
     return out[:num_points]
 
@@ -547,6 +577,7 @@ def planned_segment_sum_sharded(
     pix_id: jnp.ndarray,        # [S, n_rows, ROW_PB]
     w: jnp.ndarray,             # [S, n_rows, ROW_PB]
     local: jnp.ndarray,         # [S, n_rows, ROW_PB]
+    expand: jnp.ndarray,        # [S, n_chunks]
     num_points: int,
     mesh,
     axis: str = "data",
@@ -571,10 +602,10 @@ def planned_segment_sum_sharded(
         g, NamedSharding(mesh, P(axis, None, None))
     )
 
-    def local_sum(g_l, rc_l, pix_l, w_l, loc_l):
+    def local_sum(g_l, rc_l, pix_l, w_l, loc_l, ex_l):
         out = planned_segment_sum(
             g_l.reshape(-1, g_l.shape[-1]),
-            rc_l[0], pix_l[0], w_l[0], loc_l[0], num_points,
+            rc_l[0], pix_l[0], w_l[0], loc_l[0], ex_l[0], num_points,
         )
         if reduce:
             out = jax.lax.psum(out, axis)
@@ -584,7 +615,7 @@ def planned_segment_sum_sharded(
     return shard_map(
         local_sum, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None),
-                  specs, specs, specs),
+                  specs, specs, specs, P(axis, None)),
         out_specs=P() if reduce else P(axis, None),
         check_vma=False,
-    )(g, row_chunk, pix_id, w, local)
+    )(g, row_chunk, pix_id, w, local, expand)

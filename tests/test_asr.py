@@ -1,17 +1,24 @@
-"""End-to-end attack success on a TRAINED classifier (VERDICT r2 #4).
+"""End-to-end attack success on a TRAINED classifier (VERDICT r2 #4,
+r3 missing #3).
 
 The reference's acceptance criterion is attack success rate on a trained
 model (model_test.py:359-377): clean accuracy ≈ 1 on the target class,
 attacked accuracy ≈ 0. Every other attack test in this suite drives a toy
-linear classifier; this one trains SimpleCNN to (near-)perfect validation
-accuracy on 8 procedural box-scene classes, then runs NeRFail-S to
-completion against class 0 and asserts the reference's acceptance
-semantics. Point sets come from the analytic ground-truth surface
-(data/synthetic.analytic_coord_map) — the exact quantity `pts_max`
-approximates — so the test isolates the attack path from NeRF fitting.
+linear classifier; these train SimpleCNN to (near-)perfect validation
+accuracy on 8 procedural box-scene classes, then run BOTH attack engines
+to completion against class 0 and assert the reference's acceptance
+semantics:
 
-The full-resolution variant of this pipeline (NeRF-trained coord maps,
-inception at 299², reference epochs) runs on TPU via tools/asr_demo.py.
+  * NeRFail-S  — the sign-step engine (attack_NeRFail_S.py)
+  * NeRFail    — the flagship DeepFool engine with the m1/m2 control
+                 plane and batched views (attack_NeRFail.py)
+
+Point sets come from the analytic ground-truth surface
+(data/synthetic.analytic_coord_map) — the exact quantity `pts_max`
+approximates — so the tests isolate the attack path from NeRF fitting.
+
+The full-resolution variant of this pipeline (800² tables, inception at
+299², planned Pallas jacobian engine) runs on TPU via tools/asr_demo.py.
 """
 
 import numpy as np
@@ -25,15 +32,14 @@ from nerfail_tpu.attacks.forward import (
     make_classifier_logits_fn, splat_attack_forward, white_composite_255,
     zero_init_mask,
 )
+from nerfail_tpu.attacks.nerfail import nerfail_attack
 from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
 from nerfail_tpu.data.synthetic import analytic_coord_map, make_box_scene
 from nerfail_tpu.eval.harness import evaluate_attack
 from nerfail_tpu.models.classifiers.simple_cnn import SimpleCNN
 from nerfail_tpu.pointset.knn_build import build_index_and_dist
 from nerfail_tpu.pointset.weights import gauss_weights
-from nerfail_tpu.train.classifier_trainer import (
-    make_classifier_eval_fn, train_classifier,
-)
+from nerfail_tpu.train.classifier_trainer import train_classifier
 
 H = W = 64
 N_CLASSES = 8
@@ -47,8 +53,10 @@ def white255(images):
     return np.where(images[..., 3:] > 0, rgb, 255.0).astype(np.float32)
 
 
-@pytest.mark.slow
-def test_nerfail_s_fools_trained_classifier(tmp_path):
+@pytest.fixture(scope="module")
+def trained_setup():
+    """One trained SimpleCNN + class-0 neighbor tables, shared by both
+    attack-engine ASR tests (training is the expensive part)."""
     # ---- 1. train SimpleCNN on 8 box-scene classes --------------------
     scenes = [
         make_box_scene(n_train=N_TRAIN_VIEWS, n_val=N_VAL_VIEWS, n_test=0,
@@ -109,31 +117,60 @@ def test_nerfail_s_fools_trained_classifier(tmp_path):
     clean_acc = float(np.mean(preds == 0))
     assert clean_acc >= 0.9, f"clean acc {clean_acc}"
 
-    # ---- 3. NeRFail-S to completion ------------------------------------
-    delta0 = np.asarray(zero_init_mask(jnp.asarray(
-        ori_rgba[mask_views]
-    )))
-    cfg = AttackConfig(eps=64.0, a=4.0, batch_size=6, attack_epochs=60)
-    res = nerfail_s_attack(
-        delta0, wts, idxs, ori_rgba, labels, logits_fn, cfg,
-        resize_to=None,
-    )
+    delta0 = np.asarray(zero_init_mask(jnp.asarray(ori_rgba[mask_views])))
+    return dict(logits_fn=logits_fn, wts=wts, idxs=idxs, ori_rgba=ori_rgba,
+                labels=labels, clean=clean, delta0=delta0)
 
-    # ---- 4. reference acceptance semantics (model_test.py:359-377) ----
+
+def _acceptance(su, delta, eps):
+    """Reference acceptance semantics (model_test.py:359-377)."""
     out = splat_attack_forward(
-        jnp.asarray(res.delta).reshape(-1, 4), jnp.asarray(wts),
-        jnp.asarray(idxs), jnp.asarray(ori_rgba), logits_fn,
-        eps=cfg.eps, resize_to=None,
+        jnp.asarray(delta).reshape(-1, 4), jnp.asarray(su["wts"]),
+        jnp.asarray(su["idxs"]), jnp.asarray(su["ori_rgba"]),
+        su["logits_fn"], eps=eps, resize_to=None,
     )
     attacked = np.asarray(white_composite_255(
         out["attacked_rgba"][..., :3], out["attacked_rgba"][..., 3:]
     ))
-    report = evaluate_attack(
-        lambda x: logits_fn(jnp.asarray(x)), attacked, clean,
+    return evaluate_attack(
+        lambda x: su["logits_fn"](jnp.asarray(x)), attacked, su["clean"],
         true_label=0, num_classes=N_CLASSES,
     )
+
+
+@pytest.mark.slow
+def test_nerfail_s_fools_trained_classifier(trained_setup):
+    su = trained_setup
+    cfg = AttackConfig(eps=64.0, a=4.0, batch_size=6, attack_epochs=60)
+    res = nerfail_s_attack(
+        su["delta0"], su["wts"], su["idxs"], su["ori_rgba"], su["labels"],
+        su["logits_fn"], cfg, resize_to=None,
+    )
+    report = _acceptance(su, res.delta, cfg.eps)
     assert report["clean_acc_target_class"] >= 0.9
     assert report["asr"] >= 0.9, f"ASR too low: {report}"
     # perturbation stayed within the ε budget (loose bound: composite
     # clipping keeps pixels in range; e_max measured in 0-255 space)
+    assert report["e_max"] <= cfg.eps + 1e-3, report["e_max"]
+
+
+@pytest.mark.slow
+def test_nerfail_deepfool_fools_trained_classifier(trained_setup):
+    """The flagship DeepFool engine (attack_NeRFail.py:311-523) against a
+    TRAINED classifier — previously only exercised on toy linear heads
+    (VERDICT r3 missing #3). Batched views (view_batch=6) through the
+    margin-DeepFool walk, real m1/m2 control plane."""
+    su = trained_setup
+    cfg = AttackConfig(eps=64.0, m1=2.0, m2=10.0, df_max_iter=100,
+                       view_batch=6, attack_epochs=20)
+    res = nerfail_attack(
+        su["delta0"], su["wts"], su["idxs"], su["ori_rgba"],
+        su["logits_fn"], cfg, resize_to=None,
+    )
+    # the engine's own bookkeeping must agree the attack landed: best
+    # attack acc counts views whose pred still matches their CLEAN pred
+    assert res.best_attack_acc <= 0.1, res.history
+    report = _acceptance(su, res.delta, cfg.eps)
+    assert report["clean_acc_target_class"] >= 0.9
+    assert report["asr"] >= 0.9, f"ASR too low: {report}"
     assert report["e_max"] <= cfg.eps + 1e-3, report["e_max"]

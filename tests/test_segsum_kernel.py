@@ -8,7 +8,8 @@ import pytest
 
 def _as_args(plan):
     return (jnp.asarray(plan.row_chunk[0]), jnp.asarray(plan.pix_id[0]),
-            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]))
+            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]),
+            jnp.asarray(plan.expand[0]))
 
 
 def test_planned_matches_segment_sum(rng):
@@ -67,7 +68,8 @@ def test_plan_is_host_resident(rng):
     idx = rng.integers(0, 600, (50, 8)).astype(np.int32)
     w = rng.uniform(0, 1, (50, 8)).astype(np.float32)
     plan = build_scatter_plan(idx, w, 600)
-    for a in (plan.pix_id, plan.w, plan.local, plan.row_chunk):
+    for a in (plan.pix_id, plan.w, plan.local, plan.row_chunk,
+              plan.expand):
         assert isinstance(a, np.ndarray)   # never device-resident by default
     assert plan.nbytes > 0
 
@@ -159,7 +161,7 @@ def test_sharded_planned_matches_single(rng):
     got = planned_segment_sum_sharded(
         jnp.asarray(g), jnp.asarray(plan.row_chunk),
         jnp.asarray(plan.pix_id), jnp.asarray(plan.w),
-        jnp.asarray(plan.local), M, mesh,
+        jnp.asarray(plan.local), jnp.asarray(plan.expand), M, mesh,
     )
     contrib = (w[..., None] * g[..., None, :]).reshape(-1, 4)
     want = jax.ops.segment_sum(
@@ -204,7 +206,7 @@ def test_nerfail_s_planned_step_matches_unplanned(rng):
     d_ref, m_ref = step(d0, *args)
     d_pl, m_pl = step_p(d0, *args, jnp.asarray(plan.row_chunk),
                         jnp.asarray(plan.pix_id), jnp.asarray(plan.w),
-                        jnp.asarray(plan.local))
+                        jnp.asarray(plan.local), jnp.asarray(plan.expand))
     np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(float(m_pl["loss"]), float(m_ref["loss"]),
@@ -248,6 +250,7 @@ def test_batched_deepfool_planned_matches_unplanned(rng):
     rot_pl, it_pl, used_pl, _ = df_p(
         *args, jnp.asarray(plan.row_chunk), jnp.asarray(plan.pix_id),
         jnp.asarray(plan.w), jnp.asarray(plan.local),
+        jnp.asarray(plan.expand),
     )
     np.testing.assert_array_equal(np.asarray(it_pl), np.asarray(it_ref))
     np.testing.assert_allclose(np.asarray(rot_pl), np.asarray(rot_ref),
@@ -297,7 +300,8 @@ def test_planned_segment_sq_matches_dense(rng):
     g = rng.standard_normal((N, C)).astype(np.float32)
     plan = build_scatter_plan(idx, w, M)
     args = (jnp.asarray(plan.row_chunk[0]), jnp.asarray(plan.pix_id[0]),
-            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]))
+            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]),
+            jnp.asarray(plan.expand[0]))
 
     dense = planned_segment_sum(jnp.asarray(g), *args, M)      # [M, C]
     n_chunks = -(-M // CHUNK)
@@ -309,3 +313,36 @@ def test_planned_segment_sq_matches_dense(rng):
     got = planned_segment_sq(jnp.asarray(g), *args, M)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_empty_chunks_compact_away(rng):
+    """Plans visit only NONEMPTY point chunks: with pairs confined to a
+    thin id band, row count tracks the band (plus spill + 1 pad row),
+    not the full chunk count — and expansion still yields exact dense
+    zeros for the untouched chunks."""
+    from nerfail_tpu.ops.pallas.segsum_kernel import (
+        CHUNK, ROW_PB, build_scatter_plan, planned_segment_sum,
+    )
+
+    M = 200 * CHUNK                 # 200 chunks...
+    N = 4000
+    lo, hi = 7 * CHUNK, 12 * CHUNK  # ...but only 5 receive pairs
+    idx = rng.integers(lo, hi, (N, 8)).astype(np.int32)
+    w = rng.uniform(0, 1, (N, 8)).astype(np.float32)
+    g = rng.standard_normal((N, 4)).astype(np.float32)
+
+    plan = build_scatter_plan(idx, w, M)
+    touched = 5
+    spill = N * 8 // ROW_PB
+    assert plan.n_rows <= touched + spill + 1, (
+        f"{plan.n_rows} rows for {touched} touched chunks — "
+        "empty chunks not compacted"
+    )
+    got = np.asarray(planned_segment_sum(jnp.asarray(g), *_as_args(plan), M))
+    contrib = (w[..., None] * g[:, None, :]).reshape(-1, 4)
+    want = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(contrib), jnp.asarray(idx.reshape(-1)), num_segments=M
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # untouched chunks are exactly zero (routed through the Z block)
+    assert np.all(got[:lo] == 0.0) and np.all(got[hi:] == 0.0)
