@@ -172,19 +172,20 @@ def bench_attack(n_views: int = 8, H: int = 800, iters: int = 10):
     return iters / (time.perf_counter() - t0)
 
 
-def bench_deepfool(n_views: int = 8, H: int = 800, df_iters: int = 3):
+def bench_deepfool(n_views: int = 4, H: int = 800, df_iters: int = 3):
     """Batched NeRFail/DeepFool iteration rate at attack scale: one
     iteration = forward + C=8 batched classifier pullbacks + n_cls/2 + 1
     multi-channel Pallas plan walks (norms in-kernel, chosen-class gdiff)
     + the per-view step math, for n_views 800² views simultaneously.
 
-    view_batch=8 matches the reference's DataLoader batch
-    (attack_NeRFail_S.py). The class pullbacks walk in sequential pairs
-    (splat_deepfool_engine) so only one pair's 16×-lane-padded C-minor
-    cotangent temp is live at a time — the r3 layout artifact that
-    capped V at 4 (a single 9.8 GB transpose temp) is gone. If the
-    program still exceeds HBM on a smaller chip the bench falls back to
-    V=4 and labels the metric accordingly.
+    view_batch=4 is measured throughput-optimal on one 16 GB v5e
+    (tools/deepfool_vbatch_sweep.json): the sequential class-pair
+    pullbacks in splat_deepfool_engine removed the r3 blocker (a single
+    9.8 GB 16×-lane-padded transpose temp), which lets V=6 compile and
+    run at 800² — but it runs 1.6× slower per view under HBM pressure,
+    and V=8 still exceeds HBM through a remaining layout-assignment
+    padding artifact. Larger-HBM chips can raise cfg.view_batch; the
+    sweep documents the tradeoff.
 
     The margin setup (large m1 on the clean label) guarantees no view
     flips, so every view runs exactly df_iters iterations — the measured
@@ -274,14 +275,11 @@ def main() -> None:
     train_ips, roof = bench_train(cfg, scene, targets)
     rays_ps = bench_render(cfg, scene)
     attack_ips = bench_attack()
-    df_views = 8
-    try:
-        deepfool_ips = bench_deepfool(n_views=df_views)
-    except Exception as e:      # RESOURCE_EXHAUSTED on smaller chips
-        print(f"# bench_deepfool V=8 failed ({type(e).__name__}); "
-              "falling back to V=4", flush=True)
-        df_views = 4
-        deepfool_ips = bench_deepfool(n_views=df_views)
+    # V=4 is measured throughput-optimal on one 16 GB v5e
+    # (tools/deepfool_vbatch_sweep.json: V=6 fits but is 1.6x slower per
+    # view, V=8 exceeds HBM) — don't pay a failed V=8 compile per run
+    df_views = 4
+    deepfool_ips = bench_deepfool(n_views=df_views)
 
     baseline_iters_per_s = 7.0   # nerf-pytorch, RTX 2080 Ti (BASELINE.md)
     print(json.dumps({

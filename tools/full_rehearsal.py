@@ -391,7 +391,10 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
     print(f"[attack:{method}] clean acc (48-view sample): "
           f"{report['clean_acc_sampled']}", flush=True)
 
-    cache = DeviceBudgetCache(2 << 30, host_budget_bytes=80 << 30)
+    # counted cache bytes under-represent RSS ~1.8× (allocator arenas
+    # from the plan-build temporaries), so the budget is set well below
+    # host RAM; entries past it rebuild per epoch instead of OOMing
+    cache = DeviceBudgetCache(2 << 30, host_budget_bytes=40 << 30)
     epoch_log = []
     interrupt_after = [None]     # set to an int to exercise resume
 
@@ -405,12 +408,25 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
                "plan_rebuilds": cache.rebuilds}
         epoch_log.append(row)
         print(f"[attack:{method}] {row}", flush=True)
+        # partial report after every epoch: a preempted run still leaves
+        # committed evidence (the driver may cut the round mid-attack)
+        partial = {**report, "epoch_log": epoch_log, "partial": True,
+                   "attack_total_s_so_far": round(time.time() - t0, 1)}
+        with open(REPORT_NERFAIL if method == "nerfail" else REPORT,
+                  "w") as f:
+            json.dump(partial, f, indent=2)
         if interrupt_after[0] is not None \
                 and len(epoch_log) >= interrupt_after[0]:
             raise _StopAfter()
 
-    ori_f = np.asarray(ori_imgs)        # memmap → RAM once (u8, ~0.8 GB)
-    w_np, i_np = np.asarray(weights), np.asarray(idx)
+    # keep the 12 GB w/idx tables as MEMMAPS — the attack's build_batch
+    # slices per batch and the slices live in the plan cache; np.asarray
+    # copies here cost ~15 GB of RSS that (with allocator fragmentation
+    # from the 41M-pair plan builds) OOMed a 125 GB host at 300 views.
+    # ori stays uint8: the jitted steps convert in-jit (4× smaller cache
+    # entries and transfers).
+    ori_f = np.asarray(ori_imgs)        # u8, ~0.8 GB
+    w_np, i_np = weights, idx
     ckpt = f"/tmp/rehearsal_attack_state_{method}.npz"
     if os.path.exists(ckpt):
         os.remove(ckpt)
@@ -420,7 +436,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
         cfg = AttackConfig(eps=32.0, a=2.0, batch_size=batch,
                            attack_epochs=epochs)
         res = nerfail_s_attack(
-            delta0, w_np, i_np, ori_f.astype(np.float32), labels,
+            delta0, w_np, i_np, ori_f, labels,
             logits_fn, cfg, resize_to=RESIZE, log_fn=log,
             checkpoint_path=ckpt, checkpoint_every=1,
             plan_cache=cache,
@@ -438,7 +454,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
         interrupt_after[0] = 2
         try:
             nerfail_attack(
-                delta0, w_np, i_np, ori_f.astype(np.float32),
+                delta0, w_np, i_np, ori_f,
                 logits_fn, cfg, resize_to=RESIZE, log_fn=log,
                 checkpoint_path=ckpt, checkpoint_every=1,
                 plan_cache=cache,
@@ -451,7 +467,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
                   flush=True)
         interrupt_after[0] = None
         res = nerfail_attack(
-            delta0, w_np, i_np, ori_f.astype(np.float32),
+            delta0, w_np, i_np, ori_f,
             logits_fn, cfg, resize_to=RESIZE, log_fn=log,
             checkpoint_path=ckpt, checkpoint_every=1,
             plan_cache=cache,
