@@ -159,9 +159,7 @@ def bench_attack(n_views: int = 8, H: int = 800, iters: int = 10):
         jnp.asarray(delta), jnp.asarray(weights), jnp.asarray(idx),
         jnp.asarray(ori), jnp.asarray(labels, np.int32),
         jnp.ones(n_views, jnp.float32),
-        jnp.asarray(plan.row_chunk), jnp.asarray(plan.pix_id),
-        jnp.asarray(plan.w), jnp.asarray(plan.local),
-        jnp.asarray(plan.expand),
+        *[jnp.asarray(a) for a in plan.leaves()],
     )
     d, m = step(d, *args)
     _fence(m["loss"])
@@ -243,9 +241,7 @@ def bench_deepfool(n_views: int = 4, H: int = 800, df_iters: int = 3):
         jnp.asarray(weights), jnp.asarray(idx), jnp.asarray(ori),
         jnp.zeros((n_views, 8), jnp.float32),
         jnp.ones(n_views, bool), acfg.m1, acfg.m2,
-        jnp.asarray(plan.row_chunk), jnp.asarray(plan.pix_id),
-        jnp.asarray(plan.w), jnp.asarray(plan.local),
-        jnp.asarray(plan.expand),
+        *[jnp.asarray(a) for a in plan.leaves()],
     )
     rot, iters, _, _ = df(d, *args)
     _fence(rot)

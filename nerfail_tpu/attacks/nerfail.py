@@ -82,8 +82,7 @@ def make_batched_deepfool(
 
     @jax.jit
     def df_batch(delta, w, i, ori, ori_logits, active, m1, m2,
-                 plan_rc=None, plan_pix=None, plan_w=None, plan_local=None,
-                 plan_expand=None):
+                 *plan_leaves):
         ori = ori.astype(jnp.float32)
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
@@ -102,13 +101,11 @@ def make_batched_deepfool(
                 ScatterPlan, padded_points,
             )
 
-            S = plan_rc.shape[0]
-            plan = ScatterPlan(
-                pix_id=plan_pix, w=plan_w, local=plan_local,
-                row_chunk=plan_rc, expand=plan_expand,
+            S = plan_leaves[0].shape[0]
+            plan = ScatterPlan.from_leaves(
+                plan_leaves,
                 num_points=(V // S) * padded_points(M),
                 n_pixels=i[..., 0].size // S,
-                n_pairs=-1,
             )
 
         def logits_fn_b(delta_b):
@@ -218,8 +215,7 @@ def nerfail_attack(
                 pair_mask=ori_imgs[ids][..., 3:] > 0,
                 n_shards=n_shards,
             )
-            arrays += [plan.row_chunk, plan.pix_id, plan.w, plan.local,
-                       plan.expand]
+            arrays += list(plan.leaves())
         return tuple(arrays)
 
     delta = jnp.asarray(delta0)

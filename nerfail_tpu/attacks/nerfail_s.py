@@ -56,16 +56,16 @@ def make_nerfail_s_step(
     of ∂loss/∂δ across view shards over ICI, the multi-view analogue of
     DP gradient sync (SURVEY.md §5).
 
-    With `planned=True` the step takes four extra args — the ScatterPlan
-    arrays ([S, n_rows, ROW_PB] with S = mesh data size, 1 single-chip) —
-    and routes the splat backward through the chunk-aligned Pallas
-    segment-sum instead of XLA's scatter, sharded or not.
+    With `planned=True` the step takes the ScatterPlan's flat leaf
+    arrays as trailing args (segsum_kernel.ScatterPlan.leaves; leading
+    axis S = mesh data size, 1 single-chip) and routes the splat
+    backward through the chunk-aligned Pallas segment-sum instead of
+    XLA's scatter, sharded or not.
     """
 
     @jax.jit
     def step(delta, delta0, weights, idx, ori_img, labels, valid,
-             plan_rc=None, plan_pix=None, plan_w=None, plan_local=None,
-             plan_expand=None):
+             *plan_leaves):
         ori_img = ori_img.astype(jnp.float32)   # tables travel uint8
         if mesh is not None:
             from nerfail_tpu.parallel.shard import constrain_data
@@ -80,13 +80,11 @@ def make_nerfail_s_step(
         if planned:
             from nerfail_tpu.ops.pallas.segsum_kernel import ScatterPlan
 
-            S = plan_rc.shape[0]
-            plan = ScatterPlan(
-                pix_id=plan_pix, w=plan_w, local=plan_local,
-                row_chunk=plan_rc, expand=plan_expand,
+            S = plan_leaves[0].shape[0]
+            plan = ScatterPlan.from_leaves(
+                plan_leaves,
                 num_points=delta.reshape(-1, 4).shape[0],
                 n_pixels=idx[..., 0].size // S,
-                n_pairs=-1,
             )
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
 
@@ -207,8 +205,7 @@ def nerfail_s_attack(
                 pair_mask=ori_imgs[ids][..., 3:] > 0,
                 n_shards=n_shards,
             )
-            arrays += [plan.row_chunk, plan.pix_id, plan.w, plan.local,
-                       plan.expand]
+            arrays += list(plan.leaves())
         return tuple(arrays)
 
     starts = list(range(0, n, bs))

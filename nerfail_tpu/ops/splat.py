@@ -50,9 +50,9 @@ def splat_gather(
             return _splat_gather_static_w(points, idx, w)
         return _splat_gather(points, idx, w)
     _check_plan(plan, points.shape[0], idx, mesh)
-    fn = _planned_splat(mesh, reduce=True)
-    return fn(points, idx, w, plan.row_chunk, plan.pix_id, plan.w,
-              plan.local, plan.expand)
+    leaves = plan.leaves()
+    fn = _planned_splat(mesh, True, len(leaves))
+    return fn(points, idx, w, *leaves)
 
 
 def splat_gather_batched(
@@ -72,9 +72,9 @@ def splat_gather_batched(
         return jax.vmap(_splat_gather_static_w)(points_b, idx, w)
     V, M, C = points_b.shape
     _check_batched_plan(plan, V, M, idx, mesh)
-    fn = _planned_splat_batched(mesh)
-    return fn(points_b, idx, w, plan.row_chunk, plan.pix_id, plan.w,
-              plan.local, plan.expand)
+    leaves = plan.leaves()
+    fn = _planned_splat_batched(mesh, len(leaves))
+    return fn(points_b, idx, w, *leaves)
 
 
 def _check_batched_plan(plan, V, M, idx, mesh):
@@ -203,7 +203,8 @@ def splat_deepfool_engine(
     backwards), each with 2× the MXU rows of a single-class backward.
     """
     from nerfail_tpu.ops.pallas.segsum_kernel import (
-        CHUNK, padded_points, planned_segment_sq_T, planned_segment_sum_T,
+        CHUNK, local_leaves, padded_points, planned_segment_sq_T,
+        planned_segment_sum_T, shard_specs,
     )
 
     V, M, C = points_b.shape
@@ -211,6 +212,7 @@ def splat_deepfool_engine(
     S = int(mesh.shape.get("data", 1)) if mesh is not None else 1
     mp = padded_points(M)
     nc_view = mp // CHUNK
+    leaves = plan.leaves()
 
     pix = jax.vmap(_splat_fwd_impl)(points_b, idx, w)    # [V, ..., C]
     logits, pullback = jax.vjp(head_fn, pix)
@@ -224,8 +226,8 @@ def splat_deepfool_engine(
     # channel-major before the next pair runs: only one pair's C-minor
     # temp is ever live (~⅛ of the stack), which is what lets view_batch
     # reach 8 inside 16 GB (VERDICT r3 weak #4).
-    pull_group = 2
-    assert num_classes % pull_group == 0
+    # odd class counts fall back to one-at-a-time pullbacks (ADVICE r4)
+    pull_group = 2 if num_classes % 2 == 0 else 1
 
     def pull_pair(E):                                    # E [pg, ncls]
         Gg = jax.vmap(
@@ -243,16 +245,15 @@ def splat_deepfool_engine(
     Gdiff = (G - G_ori).reshape(num_classes * C, V, n_pix)
 
     group = max(1, 8 // C)          # classes per norm walk (8 channels)
-    assert num_classes % group == 0
+    while num_classes % group:      # any head size works, just less packed
+        group -= 1
     n_groups = num_classes // group
     Ggrp = Gdiff.reshape(n_groups, group * C, V, n_pix)
 
     def sq_one_group(Gg):                                # [grp·C, V, pix]
         if mesh is None:
             return planned_segment_sq_T(
-                Gg.reshape(group * C, -1),
-                plan.row_chunk[0], plan.pix_id[0], plan.w[0],
-                plan.local[0], plan.expand[0], V * mp,
+                Gg.reshape(group * C, -1), local_leaves(leaves), V * mp,
             )                                            # [V·nc, grp·C]
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -261,20 +262,18 @@ def splat_deepfool_engine(
             Gg, NamedSharding(mesh, P(None, "data", None))
         )
 
-        def local_sq(g_l, rc, pid, wl, loc, ex):
+        def local_sq(g_l, *leaves_l):
             return planned_segment_sq_T(
-                g_l.reshape(group * C, -1),
-                rc[0], pid[0], wl[0], loc[0], ex[0], (V // S) * mp,
+                g_l.reshape(group * C, -1), local_leaves(leaves_l),
+                (V // S) * mp,
             )
 
-        spec = P("data", None, None)
         return shard_map(
             local_sq, mesh=mesh,
-            in_specs=(P(None, "data", None), P("data", None),
-                      spec, spec, spec, P("data", None)),
+            in_specs=(P(None, "data", None),)
+            + shard_specs(leaves, mesh),
             out_specs=P("data", None), check_vma=False,
-        )(Gg, plan.row_chunk, plan.pix_id, plan.w, plan.local,
-          plan.expand)
+        )(Gg, *leaves)
 
     # lax.map forces the group walks SEQUENTIAL so only one group's
     # gather/pack temporaries are live at a time; a python loop lets the
@@ -292,9 +291,7 @@ def splat_deepfool_engine(
         )[0]                                             # [C, V, n_pix]
         if mesh is None:
             flat = planned_segment_sum_T(
-                Gsel.reshape(C, -1),
-                plan.row_chunk[0], plan.pix_id[0], plan.w[0],
-                plan.local[0], plan.expand[0], V * mp,
+                Gsel.reshape(C, -1), local_leaves(leaves), V * mp,
             )                                            # [C, V·mp]
         else:
             from jax import shard_map
@@ -304,20 +301,18 @@ def splat_deepfool_engine(
                 Gsel, NamedSharding(mesh, P(None, "data", None))
             )
 
-            def local_sum(g_l, rc, pid, wl, loc, ex):
+            def local_sum(g_l, *leaves_l):
                 return planned_segment_sum_T(
-                    g_l.reshape(C, -1),
-                    rc[0], pid[0], wl[0], loc[0], ex[0], (V // S) * mp,
+                    g_l.reshape(C, -1), local_leaves(leaves_l),
+                    (V // S) * mp,
                 )
 
-            spec = P("data", None, None)
             flat = shard_map(
                 local_sum, mesh=mesh,
-                in_specs=(P(None, "data", None), P("data", None),
-                          spec, spec, spec, P("data", None)),
+                in_specs=(P(None, "data", None),)
+                + shard_specs(leaves, mesh),
                 out_specs=P(None, "data"), check_vma=False,
-            )(Gs, plan.row_chunk, plan.pix_id, plan.w, plan.local,
-              plan.expand)
+            )(Gs, *leaves)
         out = flat.reshape(C, V, mp)[:, :, :M]           # [C, V, M]
         return jnp.moveaxis(out, 0, 2)                   # [V, M, C]
 
@@ -328,79 +323,77 @@ def splat_deepfool_engine(
 
 
 @functools.lru_cache(maxsize=None)
-def _planned_splat(mesh, reduce: bool):
+def _planned_splat(mesh, reduce: bool, n_leaves: int):
     """custom_vjp splat whose backward is the planned Pallas segment-sum.
 
-    Built per (mesh, reduce) — jax.sharding.Mesh is hashable, and the
-    backward needs the mesh statically for shard_map."""
+    Built per (mesh, reduce, n_leaves) — jax.sharding.Mesh is hashable,
+    the backward needs the mesh statically for shard_map, and the plan's
+    flat leaf count fixes the signature (ops/pallas/segsum_kernel
+    `ScatterPlan.leaves`)."""
 
     @jax.custom_vjp
-    def f(points, idx, w, row_chunk, pix_id, w_pad, local, expand):
+    def f(points, idx, w, *leaves):
         return _splat_fwd_impl(points, idx, w)
 
-    def fwd(points, idx, w, row_chunk, pix_id, w_pad, local, expand):
+    def fwd(points, idx, w, *leaves):
         out = _splat_fwd_impl(points, idx, w)
-        return out, (points.shape, idx.shape, row_chunk, pix_id, w_pad,
-                     local, expand)
+        return out, (points.shape, idx.shape, leaves)
 
     def bwd(res, g):
         from nerfail_tpu.ops.pallas.segsum_kernel import (
-            planned_segment_sum, planned_segment_sum_sharded,
+            local_leaves, planned_segment_sum, planned_segment_sum_sharded,
         )
 
-        points_shape, idx_shape, row_chunk, pix_id, w_pad, local, expand = res
+        points_shape, idx_shape, leaves = res
         M, C = points_shape
         if mesh is None:
             d_points = planned_segment_sum(
-                g.reshape(-1, C), row_chunk[0], pix_id[0], w_pad[0],
-                local[0], expand[0], M,
+                g.reshape(-1, C), local_leaves(leaves), M,
             )
         else:
             V = idx_shape[0]
             d_points = planned_segment_sum_sharded(
-                g.reshape(V, -1, C), row_chunk, pix_id, w_pad, local,
-                expand, M, mesh, reduce=True,
+                g.reshape(V, -1, C), leaves, M, mesh, reduce=True,
             )
-        return (d_points, None, None, None, None, None, None, None)
+        return (d_points, None, None) + (None,) * n_leaves
 
     f.defvjp(fwd, bwd)
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _planned_splat_batched(mesh):
+def _planned_splat_batched(mesh, n_leaves: int):
     """Per-view-points variant: cotangent stays view-local ([V, M, C])."""
 
     @jax.custom_vjp
-    def f(points_b, idx, w, row_chunk, pix_id, w_pad, local, expand):
+    def f(points_b, idx, w, *leaves):
         return jax.vmap(_splat_fwd_impl)(points_b, idx, w)
 
-    def fwd(points_b, idx, w, row_chunk, pix_id, w_pad, local, expand):
+    def fwd(points_b, idx, w, *leaves):
         out = jax.vmap(_splat_fwd_impl)(points_b, idx, w)
-        return out, (points_b.shape, row_chunk, pix_id, w_pad, local,
-                     expand)
+        return out, (points_b.shape, leaves)
 
     def bwd(res, g):
         from nerfail_tpu.ops.pallas.segsum_kernel import (
-            padded_points, planned_segment_sum, planned_segment_sum_sharded,
+            local_leaves, padded_points, planned_segment_sum,
+            planned_segment_sum_sharded,
         )
 
-        points_shape, row_chunk, pix_id, w_pad, local, expand = res
+        points_shape, leaves = res
         V, M, C = points_shape
         mp = padded_points(M)   # view v owns rows [v·mp, v·mp + M)
         if mesh is None:
             flat = planned_segment_sum(
-                g.reshape(-1, C), row_chunk[0], pix_id[0], w_pad[0],
-                local[0], expand[0], V * mp,
+                g.reshape(-1, C), local_leaves(leaves), V * mp,
             )
         else:
             S = int(mesh.shape.get("data", 1))
             flat = planned_segment_sum_sharded(
-                g.reshape(V, -1, C), row_chunk, pix_id, w_pad, local,
-                expand, (V // S) * mp, mesh, reduce=False,
+                g.reshape(V, -1, C), leaves, (V // S) * mp, mesh,
+                reduce=False,
             )
-        return (flat.reshape(V, mp, C)[:, :M], None, None, None, None,
-                None, None, None)
+        return (flat.reshape(V, mp, C)[:, :M], None, None) \
+            + (None,) * n_leaves
 
     f.defvjp(fwd, bwd)
     return f

@@ -82,9 +82,11 @@ class DeviceBudgetCache:
             self._pinned[key] = dev
             self._used += size
         elif self._host_used + size <= self.host_budget_bytes:
+            # NOT counted in streamed_gets: the counter measures REPEAT
+            # host→device transfers, and this first transfer rides the
+            # build (ADVICE r4)
             self._host[key] = host
             self._host_used += size
-            self.streamed_gets += 1
         else:
             self.streamed_gets += 1
             if key in self._seen:

@@ -19,7 +19,9 @@ from nerfail_tpu.train.classifier_trainer import (
 )
 
 # CPU-affordable smoke set; the heavy 299² towers get a single shared test.
-LIGHT = ["my_model", "alexnet", "vgg16"]
+# "my_model" is the 800²-pinned reference MyCNN; smoke-test the
+# resolution-flexible redesign under its own name instead
+LIGHT = ["simple_cnn", "alexnet", "vgg16"]
 
 
 class TestRegistry:
@@ -27,7 +29,7 @@ class TestRegistry:
         for name in [
             "inception", "incresv2", "resnet50", "vgg16", "alexnet",
             "mobilenet_v2", "densenet121", "efficientnet_b0", "vit_b_16",
-            "mixer_b", "my_model",
+            "mixer_b", "my_model", "my_cnn", "simple_cnn",
         ]:
             assert name in CLASSIFIER_REGISTRY
 
@@ -36,6 +38,7 @@ class TestRegistry:
         assert classifier_input_size("mixer_b") == 224
         assert classifier_input_size("inception") == 299
         assert classifier_input_size("my_model") is None
+        assert classifier_input_size("simple_cnn") is None
 
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
@@ -89,7 +92,7 @@ def test_train_classifier_learns_toy_task(rng):
     labels = np.zeros(n, np.int64)
     imgs[n // 2:] = 255.0
     labels[n // 2:] = 1
-    model = get_classifier("my_model", num_classes=2)
+    model = get_classifier("simple_cnn", num_classes=2)
     state = train_classifier(
         model, imgs, labels, imgs, labels,
         epochs=8, batch_size=8, lr=1e-2, seed=0,

@@ -76,7 +76,7 @@ def test_full_attack_chain(mini_world):
     y = np.concatenate(
         [np.zeros(len(box), np.int64), np.ones(len(noise), np.int64)]
     )
-    model = get_classifier("my_model", num_classes=2)
+    model = get_classifier("simple_cnn", num_classes=2)
     cstate = train_classifier(model, X, y, X, y, epochs=5, batch_size=8,
                               lr=1e-2)
     logits_fn = make_classifier_logits_fn(model, cstate.params, cstate.extra)

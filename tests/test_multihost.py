@@ -70,7 +70,7 @@ def test_defense_finetune_improves_robust_accuracy(rng):
     labels = np.zeros(n, np.int64)
     clean[n // 2:] = 255.0
     labels[n // 2:] = 1
-    model = get_classifier("my_model", num_classes=2)
+    model = get_classifier("simple_cnn", num_classes=2)
     state = train_classifier(model, clean, labels, clean, labels,
                              epochs=6, batch_size=8, lr=1e-2)
 

@@ -7,9 +7,14 @@ import pytest
 
 
 def _as_args(plan):
-    return (jnp.asarray(plan.row_chunk[0]), jnp.asarray(plan.pix_id[0]),
-            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]),
-            jnp.asarray(plan.expand[0]))
+    """LOCAL (shard-0) plan leaves as device arrays."""
+    from nerfail_tpu.ops.pallas.segsum_kernel import local_leaves
+
+    return tuple(jnp.asarray(a) for a in local_leaves(plan.leaves()))
+
+
+def _dev_leaves(plan):
+    return tuple(jnp.asarray(a) for a in plan.leaves())
 
 
 def test_planned_matches_segment_sum(rng):
@@ -24,7 +29,7 @@ def test_planned_matches_segment_sum(rng):
     g = rng.standard_normal((N, 4)).astype(np.float32)
 
     plan = build_scatter_plan(idx, w, M)
-    got = planned_segment_sum(jnp.asarray(g), *_as_args(plan), M)
+    got = planned_segment_sum(jnp.asarray(g), _as_args(plan), M)
     contrib = (w[..., None] * g[:, None, :]).reshape(-1, 4)
     want = jax.ops.segment_sum(
         jnp.asarray(contrib), jnp.asarray(idx.reshape(-1)), num_segments=M
@@ -49,11 +54,13 @@ def test_skewed_popularity_stays_compact(rng):
     g = rng.standard_normal((N, 4)).astype(np.float32)
 
     plan = build_scatter_plan(idx, w, M)
-    # row-based layout: total slots ≤ pairs + (ROW_PB per chunk)
+    # row-based layout: total slots ≤ ~pairs + one width-class row per
+    # chunk (+ quantized pad rows, ≤ 1/8 + a constant floor per class)
     n_chunks = -(-M // 512)
-    assert plan.pix_id.size <= N * 8 + n_chunks * ROW_PB
+    slots = sum(p.pix_id.size for p in plan.parts)
+    assert slots <= (N * 8 + n_chunks * ROW_PB) * 9 // 8 + 3 * 8 * ROW_PB
     assert plan.n_pairs == N * 8
-    got = planned_segment_sum(jnp.asarray(g), *_as_args(plan), M)
+    got = planned_segment_sum(jnp.asarray(g), _as_args(plan), M)
     contrib = (w[..., None] * g[:, None, :]).reshape(-1, 4)
     want = jax.ops.segment_sum(
         jnp.asarray(contrib), jnp.asarray(idx.reshape(-1)), num_segments=M
@@ -68,8 +75,7 @@ def test_plan_is_host_resident(rng):
     idx = rng.integers(0, 600, (50, 8)).astype(np.int32)
     w = rng.uniform(0, 1, (50, 8)).astype(np.float32)
     plan = build_scatter_plan(idx, w, 600)
-    for a in (plan.pix_id, plan.w, plan.local, plan.row_chunk,
-              plan.expand):
+    for a in plan.leaves():
         assert isinstance(a, np.ndarray)   # never device-resident by default
     assert plan.nbytes > 0
 
@@ -87,7 +93,7 @@ def test_pair_mask_drops_pairs(rng):
     g = rng.standard_normal((B * H * W, 4)).astype(np.float32)
 
     plan = build_scatter_plan(idx, w, M, pair_mask=mask)
-    got = planned_segment_sum(jnp.asarray(g), *_as_args(plan), M)
+    got = planned_segment_sum(jnp.asarray(g), _as_args(plan), M)
     keep = np.broadcast_to(mask, idx.shape).reshape(-1)
     contrib = (w.reshape(-1, k)[..., None]
                * g[:, None, :]).reshape(-1, 4) * keep[:, None]
@@ -159,9 +165,7 @@ def test_sharded_planned_matches_single(rng):
 
     plan = build_scatter_plan(idx, w, M, n_shards=4)
     got = planned_segment_sum_sharded(
-        jnp.asarray(g), jnp.asarray(plan.row_chunk),
-        jnp.asarray(plan.pix_id), jnp.asarray(plan.w),
-        jnp.asarray(plan.local), jnp.asarray(plan.expand), M, mesh,
+        jnp.asarray(g), _dev_leaves(plan), M, mesh,
     )
     contrib = (w[..., None] * g[..., None, :]).reshape(-1, 4)
     want = jax.ops.segment_sum(
@@ -204,9 +208,7 @@ def test_nerfail_s_planned_step_matches_unplanned(rng):
     args = (d0, jnp.asarray(weights), jnp.asarray(idx), jnp.asarray(ori),
             labels, valid)
     d_ref, m_ref = step(d0, *args)
-    d_pl, m_pl = step_p(d0, *args, jnp.asarray(plan.row_chunk),
-                        jnp.asarray(plan.pix_id), jnp.asarray(plan.w),
-                        jnp.asarray(plan.local), jnp.asarray(plan.expand))
+    d_pl, m_pl = step_p(d0, *args, *_dev_leaves(plan))
     np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(float(m_pl["loss"]), float(m_ref["loss"]),
@@ -247,11 +249,7 @@ def test_batched_deepfool_planned_matches_unplanned(rng):
     args = (d0, jnp.asarray(weights), jnp.asarray(idx), jnp.asarray(ori),
             ori_logits, active, 1.0, 0.5)
     rot_ref, it_ref, used_ref, _ = df(*args)
-    rot_pl, it_pl, used_pl, _ = df_p(
-        *args, jnp.asarray(plan.row_chunk), jnp.asarray(plan.pix_id),
-        jnp.asarray(plan.w), jnp.asarray(plan.local),
-        jnp.asarray(plan.expand),
-    )
+    rot_pl, it_pl, used_pl, _ = df_p(*args, *_dev_leaves(plan))
     np.testing.assert_array_equal(np.asarray(it_pl), np.asarray(it_ref))
     np.testing.assert_allclose(np.asarray(rot_pl), np.asarray(rot_ref),
                                rtol=1e-4, atol=1e-4)
@@ -299,18 +297,16 @@ def test_planned_segment_sq_matches_dense(rng):
     w = rng.uniform(0, 1, (N, 8)).astype(np.float32)
     g = rng.standard_normal((N, C)).astype(np.float32)
     plan = build_scatter_plan(idx, w, M)
-    args = (jnp.asarray(plan.row_chunk[0]), jnp.asarray(plan.pix_id[0]),
-            jnp.asarray(plan.w[0]), jnp.asarray(plan.local[0]),
-            jnp.asarray(plan.expand[0]))
+    args = _as_args(plan)
 
-    dense = planned_segment_sum(jnp.asarray(g), *args, M)      # [M, C]
+    dense = planned_segment_sum(jnp.asarray(g), args, M)       # [M, C]
     n_chunks = -(-M // CHUNK)
     pad = n_chunks * CHUNK - M
     dense_p = jnp.pad(dense, ((0, pad), (0, 0)))
     want = jnp.sum(
         dense_p.reshape(n_chunks, CHUNK, C) ** 2, axis=1
     )
-    got = planned_segment_sq(jnp.asarray(g), *args, M)
+    got = planned_segment_sq(jnp.asarray(g), args, M)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
@@ -333,12 +329,14 @@ def test_empty_chunks_compact_away(rng):
 
     plan = build_scatter_plan(idx, w, M)
     touched = 5
-    spill = N * 8 // ROW_PB
-    assert plan.n_rows <= touched + spill + 1, (
-        f"{plan.n_rows} rows for {touched} touched chunks — "
+    # slots scale with the touched band (+ class floors), NOT the 200
+    # chunks: each touched chunk costs ≤ one row of its own width class
+    slots = sum(p.pix_id.size for p in plan.parts)
+    assert slots <= N * 8 + touched * ROW_PB + 3 * 8 * ROW_PB, (
+        f"{slots} slots for {touched} touched chunks — "
         "empty chunks not compacted"
     )
-    got = np.asarray(planned_segment_sum(jnp.asarray(g), *_as_args(plan), M))
+    got = np.asarray(planned_segment_sum(jnp.asarray(g), _as_args(plan), M))
     contrib = (w[..., None] * g[:, None, :]).reshape(-1, 4)
     want = np.asarray(jax.ops.segment_sum(
         jnp.asarray(contrib), jnp.asarray(idx.reshape(-1)), num_segments=M
@@ -346,3 +344,53 @@ def test_empty_chunks_compact_away(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
     # untouched chunks are exactly zero (routed through the Z block)
     assert np.all(got[:lo] == 0.0) and np.all(got[hi:] == 0.0)
+
+
+def test_adaptive_width_bounds_padding(rng):
+    """At attack sparsity (most nonempty chunks carry a handful of
+    pairs) per-chunk padding is bounded by the chunk's OWN width class —
+    plan slots stay within ~2× the real pair count instead of the old
+    fixed 2048-wide row per chunk (~88% padding, VERDICT r4 weak #5)."""
+    from nerfail_tpu.ops.pallas.segsum_kernel import (
+        CHUNK, build_scatter_plan, planned_segment_sum,
+    )
+
+    M = 400 * CHUNK
+    N = 3000
+    # ~40 pairs per chunk on average, spread over ALL chunks
+    idx = rng.integers(0, M, (N, 8)).astype(np.int32)
+    w = rng.uniform(0, 1, (N, 8)).astype(np.float32)
+    g = rng.standard_normal((N, 4)).astype(np.float32)
+
+    plan = build_scatter_plan(idx, w, M)
+    slots = sum(p.pix_id.size for p in plan.parts)
+    old_layout = 400 * 2048          # one fixed 2048-wide row per chunk
+    assert slots <= old_layout // 8, (
+        f"{slots} slots for {N * 8} pairs — width classes not engaged "
+        f"(fixed-width layout would use {old_layout})"
+    )
+    got = planned_segment_sum(jnp.asarray(g), _as_args(plan), M)
+    contrib = (w[..., None] * g[:, None, :]).reshape(-1, 4)
+    want = jax.ops.segment_sum(
+        jnp.asarray(contrib), jnp.asarray(idx.reshape(-1)), num_segments=M
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_quantized_rows_share_shapes(rng):
+    """Nearby batch sizes produce identical per-class row counts, so
+    repeated attack batches reuse one jitted step instead of
+    recompiling per batch's exact row count."""
+    from nerfail_tpu.ops.pallas.segsum_kernel import build_scatter_plan
+
+    M = 2000
+
+    def shapes(n):
+        idx = rng.integers(0, M, (n, 8)).astype(np.int32)
+        w = rng.uniform(0, 1, (n, 8)).astype(np.float32)
+        plan = build_scatter_plan(idx, w, M)
+        return tuple(p.pix_id.shape for p in plan.parts)
+
+    seen = {shapes(n) for n in (5000, 5005, 5010, 5020)}
+    assert len(seen) == 1, f"row counts not quantized: {seen}"
