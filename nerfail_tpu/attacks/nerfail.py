@@ -168,12 +168,14 @@ def nerfail_attack(
     checkpoint_every: int = 1,
     plan_device_budget: int = 2 << 30,
     plan_cache: Optional[DeviceBudgetCache] = None,
+    planned: Optional[bool] = None,
 ) -> AttackResult:
     n = ori_imgs.shape[0]
     epochs = epochs if epochs is not None else cfg.attack_epochs
     num_classes = None
     M = delta0.reshape(-1, 4).shape[0]
-    use_plan = jax.default_backend() == "tpu"
+    use_plan = (jax.default_backend() == "tpu" if planned is None
+                else planned)
     n_shards = int(mesh.shape.get("data", 1)) if mesh is not None else 1
 
     view_batch = max(cfg.view_batch, 1)

@@ -157,19 +157,26 @@ def nerfail_s_attack(
     checkpoint_every: int = 1,
     plan_device_budget: int = 2 << 30,
     plan_cache: Optional[DeviceBudgetCache] = None,
+    delta_init: Optional[np.ndarray] = None,
+    planned: Optional[bool] = None,
 ) -> AttackResult:
     """Host driver: epochs × batches, best-tensor tracking by attack acc.
 
     With `checkpoint_path`, (δ, best δ, epoch, history) persist every
     `checkpoint_every` epochs and an interrupted run resumes exactly where
     it stopped (the reference has no mid-attack state — SURVEY §5).
+
+    `delta_init` warm-starts the walk from a previous run's tensor while
+    δ0 keeps defining the ε-ball (the continuation therefore stays inside
+    the ORIGINAL projection region, exactly as more epochs would have).
     """
     # On TPU the splat backward routes through the planned Pallas
     # segment-sum (single-chip AND sharded): neighbor tables are static
     # per batch, so the chunk-bucketed layout is built once per batch on
     # the host. Background pairs (ori_alpha == 0 → provably zero gradient)
     # are dropped at plan-build time.
-    use_plan = jax.default_backend() == "tpu"
+    use_plan = (jax.default_backend() == "tpu" if planned is None
+                else planned)
     n_shards = int(mesh.shape.get("data", 1)) if mesh is not None else 1
     step_fn = make_nerfail_s_step(
         logits_fn, cfg, resize_to, mesh=mesh, planned=use_plan,
@@ -210,7 +217,7 @@ def nerfail_s_attack(
 
     starts = list(range(0, n, bs))
 
-    delta = jnp.asarray(delta0)
+    delta = jnp.asarray(delta0 if delta_init is None else delta_init)
     delta0_d = jnp.asarray(delta0)
     result = AttackResult(delta=np.array(delta0))
 

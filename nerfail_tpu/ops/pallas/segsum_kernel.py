@@ -160,12 +160,14 @@ def local_leaves(leaves) -> tuple:
 
 
 def _quant_rows(n: int) -> int:
-    """Round a row count up to a ~6%-granular ladder (4-bit mantissa):
-    bounds both the pad-row waste and the number of distinct jitted
-    shapes across attack batches."""
+    """Round a row count up to a ≤12.5%-waste ladder (3-bit mantissa):
+    bounds both the pad-row bytes and the number of distinct jitted
+    shapes across attack batches — epoch 0 of a long attack is
+    dominated by one Mosaic/XLA compile per distinct plan shape, so
+    fewer ladder rungs directly cut its wall clock."""
     if n <= 8:
         return 8
-    step = 1 << max(0, int(n).bit_length() - 4)
+    step = 1 << max(0, int(n).bit_length() - 3)
     return -(-n // step) * step
 
 
