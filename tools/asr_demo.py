@@ -38,10 +38,8 @@ def main(n_views=60, H=800, epochs=3, view_batch=4, df_max_iter=50):
     fr.train_rehearsal_classifier(H=H)
     report = fr.run_attack(
         "nerfail", n_views, H, epochs=epochs, view_batch=view_batch,
-        df_max_iter=df_max_iter,
+        df_max_iter=df_max_iter, report_path=REPORT,
     )
-    with open(REPORT, "w") as f:
-        json.dump(report, f, indent=2)
     fe = report["final_eval"]
     print(f"[asr_demo] clean_acc={fe['clean_acc']:.3f} "
           f"asr={fe['asr']:.3f} e_max={fe['e_max']:.1f}")

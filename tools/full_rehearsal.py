@@ -134,20 +134,35 @@ def build_tables(n_views=300, H=800):
     prep = KnnPrep(S) if on_tpu else None
     print(f"[tables] k-NN backend: {'pallas/tpu' if on_tpu else 'host tree'}",
           flush=True)
-    for v in range(n_views):
+
+    # the per-view host work (ray gen + shading + coord map, ~2-3 s at
+    # 800²) runs in a prefetch thread OVERLAPPED with the previous view's
+    # TPU k-NN — the r4 serial loop averaged 7.9 s/view against a ~5 s
+    # steady-state kernel time (VERDICT r4 next #8)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep_view(v):
         o, d = get_rays_np(H, H, K, poses[v])
         rgba = _shade(o.reshape(-1, 3), d.reshape(-1, 3)).reshape(H, H, 4)
-        ori_imgs[v] = np.clip(rgba * 255.0, 0, 255).astype(np.uint8)
         cm = analytic_coord_map(poses[v], H, H, K)
-        if on_tpu:
-            dist, i8 = knn_pallas(cm.reshape(-1, 3), prep=prep, k=8)
-        else:
-            dist, i8 = knn_host_tree(cm.reshape(-1, 3), S, k=8)
-        weights[v] = _gauss_weights_np(dist, c).reshape(H, H, 8)
-        idx[v] = i8.reshape(H, H, 8)
-        if (v + 1) % 25 == 0:
-            print(f"[tables] {v + 1}/{n_views} views "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+        return rgba, cm
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(prep_view, 0)
+        for v in range(n_views):
+            rgba, cm = fut.result()
+            if v + 1 < n_views:
+                fut = ex.submit(prep_view, v + 1)
+            ori_imgs[v] = np.clip(rgba * 255.0, 0, 255).astype(np.uint8)
+            if on_tpu:
+                dist, i8 = knn_pallas(cm.reshape(-1, 3), prep=prep, k=8)
+            else:
+                dist, i8 = knn_host_tree(cm.reshape(-1, 3), S, k=8)
+            weights[v] = _gauss_weights_np(dist, c).reshape(H, H, 8)
+            idx[v] = i8.reshape(H, H, 8)
+            if (v + 1) % 25 == 0:
+                print(f"[tables] {v + 1}/{n_views} views "
+                      f"({time.time() - t0:.0f}s)", flush=True)
     for a in (ori_imgs, weights, idx):
         a.flush()
     np.save(os.path.join(CACHE, "S.npy"), S)
@@ -370,13 +385,19 @@ def _final_asr_eval(delta, weights, idx, ori_imgs, labels, logits_fn, cfg,
 
 
 def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
-               view_batch=4, df_max_iter=50, warm=0):
-    """Phase 2 (TPU): full-scale attack over the cached tables."""
+               view_batch=4, df_max_iter=50, warm=0, report_path=None):
+    """Phase 2 (TPU): full-scale attack over the cached tables.
+
+    report_path overrides the default per-method report file (used by
+    asr_demo so its 60-view run never clobbers the 300-view flagship
+    evidence)."""
     from nerfail_tpu.attacks.nerfail import nerfail_attack
     from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
     from nerfail_tpu.config import AttackConfig
     from nerfail_tpu.utils.device_cache import DeviceBudgetCache
 
+    if report_path is None:
+        report_path = REPORT_NERFAIL if method == "nerfail" else REPORT
     (meta, ori_imgs, weights, idx, delta0, labels, logits_fn,
      perf_only) = _load_setup(n_views, H)
     report = {"method": method, "n_views": n_views, "H": H, "M": meta["M"],
@@ -421,8 +442,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
         # committed evidence (the driver may cut the round mid-attack)
         partial = {**report, "epoch_log": epoch_log, "partial": True,
                    "attack_total_s_so_far": round(time.time() - t0, 1)}
-        with open(REPORT_NERFAIL if method == "nerfail" else REPORT,
-                  "w") as f:
+        with open(report_path, "w") as f:
             json.dump(partial, f, indent=2)
         if interrupt_after[0] is not None \
                 and len(epoch_log) >= interrupt_after[0]:
@@ -445,7 +465,8 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
         cfg = AttackConfig(eps=32.0, a=2.0, batch_size=batch,
                            attack_epochs=epochs)
         delta_init = None
-        warm_npz = os.path.join(CACHE, "delta_best_nerfail_s.npz")
+        warm_npz = os.path.join(CACHE,
+                                f"delta_best_nerfail_s_{n_views}.npz")
         if warm and os.path.exists(warm_npz):
             saved = np.load(warm_npz)
             delta_init = saved["delta"]
@@ -495,7 +516,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
     # persist the winning tensor: post-hoc evals and warm-started
     # continuation runs (epochs=N warm=1) don't repay the attack
     np.savez_compressed(
-        os.path.join(CACHE, f"delta_best_{method}.npz"),
+        os.path.join(CACHE, f"delta_best_{method}_{n_views}.npz"),
         delta=res.delta, best_attack_acc=res.best_attack_acc,
     )
     report["attack_total_s"] = round(time.time() - t0, 1)
@@ -513,11 +534,10 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
           flush=True)
     report["total_s"] = round(time.time() - t_all, 1)
 
-    path = REPORT_NERFAIL if method == "nerfail" else REPORT
-    with open(path, "w") as f:
+    with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
-    print(f"[rehearsal] report written to {path}")
+    print(f"[rehearsal] report written to {report_path}")
     return report
 
 
