@@ -522,9 +522,13 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
     report["attack_total_s"] = round(time.time() - t0, 1)
     report["epoch_log"] = epoch_log
     report["epoch_time_s"] = [round(e["time_s"], 1) for e in epoch_log]
-    report["final_hbm_gb"] = device_mem_gb()
     report["plan_host_gb"] = round(cache.host_bytes / (1 << 30), 3)
     report["plan_pinned_gb"] = round(cache.pinned_bytes / (1 << 30), 3)
+    # release the pinned plans BEFORE the eval forwards — at 300 views
+    # ~6 GB of pinned plans plus the eval's eager gathers exhaust a
+    # 16 GB chip (observed r5: the attack finished, the eval OOMed)
+    cache.clear()
+    report["final_hbm_gb"] = device_mem_gb()
     report["best_attack_acc"] = res.best_attack_acc
     report["delta_abs_max"] = float(np.abs(res.delta[..., :3]).max())
     report["final_eval"] = _final_asr_eval(
