@@ -159,6 +159,7 @@ def nerfail_s_attack(
     plan_cache: Optional[DeviceBudgetCache] = None,
     delta_init: Optional[np.ndarray] = None,
     planned: Optional[bool] = None,
+    stop_at_acc: Optional[float] = None,
 ) -> AttackResult:
     """Host driver: epochs × batches, best-tensor tracking by attack acc.
 
@@ -169,6 +170,11 @@ def nerfail_s_attack(
     `delta_init` warm-starts the walk from a previous run's tensor while
     δ0 keeps defining the ε-ball (the continuation therefore stays inside
     the ORIGINAL projection region, exactly as more epochs would have).
+
+    `stop_at_acc` ends the walk early once attack accuracy reaches the
+    threshold (the reference runs a fixed 100 epochs,
+    attack_NeRFail_S.py:311 — this knob only truncates converged tails,
+    it never changes a step).
     """
     # On TPU the splat backward routes through the planned Pallas
     # segment-sum (single-chip AND sharded): neighbor tables are static
@@ -273,6 +279,8 @@ def nerfail_s_attack(
                  "history": result.history},
                 fingerprint=_fingerprint(cfg, n, ori_imgs.shape, epochs),
             )
+        if stop_at_acc is not None and result.best_attack_acc <= stop_at_acc:
+            break
     clear_attack_state(checkpoint_path)
     return result
 

@@ -385,12 +385,15 @@ def _final_asr_eval(delta, weights, idx, ori_imgs, labels, logits_fn, cfg,
 
 
 def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
-               view_batch=4, df_max_iter=50, warm=0, report_path=None):
+               view_batch=4, df_max_iter=50, warm=0, report_path=None,
+               stop_at=None):
     """Phase 2 (TPU): full-scale attack over the cached tables.
 
     report_path overrides the default per-method report file (used by
     asr_demo so its 60-view run never clobbers the 300-view flagship
-    evidence)."""
+    evidence). stop_at (nerfail_s) truncates the epoch walk once attack
+    accuracy reaches the threshold — convergence runs don't pay for a
+    flat tail."""
     from nerfail_tpu.attacks.nerfail import nerfail_attack
     from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
     from nerfail_tpu.config import AttackConfig
@@ -478,6 +481,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
             logits_fn, cfg, resize_to=RESIZE, log_fn=log,
             checkpoint_path=ckpt, checkpoint_every=1,
             plan_cache=cache, delta_init=delta_init,
+            stop_at_acc=stop_at,
         )
     elif method == "nerfail":
         cfg = AttackConfig(eps=32.0, m1=8.0, m2=100.0,
@@ -546,7 +550,7 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
 
 
 def main(phase="both", method="nerfail_s", n_views=300, H=800, epochs=2,
-         batch=8, view_batch=4, df_max_iter=50, warm=0):
+         batch=8, view_batch=4, df_max_iter=50, warm=0, stop_at=None):
     if phase in ("tables", "both"):
         build_tables(n_views, H)
         if phase == "tables":
@@ -556,12 +560,17 @@ def main(phase="both", method="nerfail_s", n_views=300, H=800, epochs=2,
         if phase == "classifier":
             return
     run_attack(method, n_views, H, epochs, batch, view_batch, df_max_iter,
-               warm=warm)
+               warm=warm, stop_at=stop_at)
 
 
 if __name__ == "__main__":
     kw = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        kw[k] = v if k in ("phase", "method") else int(v)
+        if k in ("phase", "method"):
+            kw[k] = v
+        elif k == "stop_at":
+            kw[k] = float(v)
+        else:
+            kw[k] = int(v)
     main(**kw)
