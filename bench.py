@@ -317,7 +317,8 @@ def _rehearsal_summary():
             "plan_pinned_gb", "best_attack_acc", "final_eval")
     out = {}
     for tag, name in (("nerfail_s", "rehearsal_report.json"),
-                      ("nerfail", "rehearsal_report_nerfail.json")):
+                      ("nerfail", "rehearsal_report_nerfail.json"),
+                      ("asr_demo_60view", "asr_demo_report.json")):
         path = os.path.join(os.path.dirname(__file__), "tools", name)
         if not os.path.exists(path):
             continue
