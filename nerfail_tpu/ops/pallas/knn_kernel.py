@@ -232,86 +232,122 @@ class KnnPrep:
 _SMEM_CAND_INTS = 96 * 1024
 
 
+class KnnQueryPlan:
+    """Host-side query plan for one `knn_pallas` sweep.
+
+    Everything up to the kernel calls — Morton ordering, tile bbox
+    candidate pruning, and SMEM-budget bucketing — is pure numpy on the
+    host (~1.5-3 s for a 640K-query image). Building the NEXT image's
+    plan in a worker thread while the current image's kernel calls run
+    hides that cost behind the device time (the r5 knn_timing.json
+    measurement showed it serializing inside `knn_pallas` otherwise)."""
+
+    def __init__(self, queries: np.ndarray, prep: KnnPrep,
+                 k: int = 8, tq: int = 256):
+        queries = np.asarray(queries, np.float32)
+        prune = prep.prune
+        self.prep, self.k, self.tq = prep, k, tq
+        Q = self.Q = queries.shape[0]
+
+        qperm = _morton_order(queries) if prune else np.arange(Q)
+        self.qperm = qperm
+        qs = queries[qperm]
+
+        Qp = -(-Q // tq) * tq
+        qpk = np.zeros((Qp, 8), np.float32)
+        qpk[:Q, :3] = qs
+        # pad queries with the last real query (harmless duplicate work)
+        if Qp != Q:
+            qpk[Q:, :3] = qs[-1]
+
+        n_q = self.n_q = Qp // tq
+        if prune and prep.n_p > 1:
+            q_lo, q_hi = _tile_bboxes(qpk[:, :3], tq)
+            cand = _candidates(
+                q_lo, q_hi, prep.p_lo, prep.p_hi, prep.n_full_p, k,
+                prep.tp,
+            )
+        else:
+            cand = np.tile(np.arange(prep.n_p, dtype=np.int32), (n_q, 1))
+
+        # Group query tiles into kernel calls that (a) fit the SMEM
+        # candidate budget and (b) are shape-homogeneous: tiles are
+        # bucketed by their candidate count rounded to a power of two
+        # ≥64, so surface tiles (tight pruning, ~64-128 candidates)
+        # batch thousands of rows per call while the few background
+        # tiles (weak pruning) go in narrow calls — and every
+        # (rows, width) pair is a power of two, keeping the
+        # compiled-kernel set small and stable across images.
+        counts = np.maximum((cand >= 0).sum(1), 1)
+        widths = 64 * 2 ** np.ceil(
+            np.log2(counts / 64).clip(0)
+        ).astype(np.int64)
+        # a bucket width must itself fit the SMEM candidate budget even
+        # at one row per call; weakly-pruned tiles beyond the cap run
+        # SEGMENTED candidate passes (top-k merged across segments in
+        # the execute loop) — ADVICE r4
+        w_cap = 1 << int(np.floor(np.log2(_SMEM_CAND_INTS)))
+        widths = np.minimum(widths, w_cap)
+        # keep every (rows, width) pair an exact power of two: pad the
+        # candidate table with -1 columns up to the widest bucket (or a
+        # whole number of w_cap segments) instead of clipping to max_c
+        # (a per-image multiple of 64 that would otherwise add one fresh
+        # compiled shape per distinct image — ADVICE r3)
+        w_max = int(widths.max())
+        if int(counts.max()) > w_cap:
+            w_max = -(-cand.shape[1] // w_cap) * w_cap
+        if w_max > cand.shape[1]:
+            cand = np.concatenate(
+                [cand, np.full((cand.shape[0], w_max - cand.shape[1]),
+                               -1, np.int32)], axis=1,
+            )
+        self.qpk, self.cand = qpk, cand
+        self.counts, self.widths = counts, widths
+
+
 def knn_pallas(
-    queries: np.ndarray,       # [Q, 3]
-    points: Optional[np.ndarray] = None,   # [M, 3]
+    queries: Optional[np.ndarray] = None,   # [Q, 3]
+    points: Optional[np.ndarray] = None,    # [M, 3]
     k: int = 8,
     tq: int = 256,
     tp: int = 512,
     prune: bool = True,
     interpret: bool = False,
     prep: Optional[KnnPrep] = None,
+    plan: Optional[KnnQueryPlan] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN (dist ascending, global idx) of each query in `points`.
 
     Drop-in for `knn_topk`/`knn_host_tree` on the TPU; Euclidean outputs
     match the reference cdist semantics (create_index_and_dist.py:133-137).
     Pass a `KnnPrep` built once per point set to amortize the point-side
-    host prep across many query images. Query tiles are grouped into as
-    many kernel calls as the SMEM candidate-table budget requires, so
-    full-image sweeps (640K queries × 1.92M points) run without blowing
-    the ~1 MB scalar-prefetch memory.
+    host prep across many query images, and optionally a `KnnQueryPlan`
+    built off-thread to overlap the per-image host planning with device
+    work. Query tiles are grouped into as many kernel calls as the SMEM
+    candidate-table budget requires, so full-image sweeps (640K queries
+    × 1.92M points) run without blowing the ~1 MB scalar-prefetch memory.
     """
-    queries = np.asarray(queries, np.float32)
-    if prep is None:
-        if points is None:
-            raise ValueError(
-                "knn_pallas needs either `points` or a prebuilt `prep`"
-            )
-        prep = KnnPrep(points, tp=tp, prune=prune)
-    elif points is not None:
-        raise ValueError("pass `points` OR `prep`, not both — the prep "
-                         "already owns a (possibly different) point set")
-    # the prep's tile size / pruning choice wins over the call-site args
-    tp, prune, M = prep.tp, prep.prune, prep.M
-    Q = queries.shape[0]
-
-    qperm = _morton_order(queries) if prune else np.arange(Q)
-    qs = queries[qperm]
-
-    Qp = -(-Q // tq) * tq
-    qpk = np.zeros((Qp, 8), np.float32)
-    qpk[:Q, :3] = qs
-    # pad queries with the last real query (harmless duplicate work)
-    if Qp != Q:
-        qpk[Q:, :3] = qs[-1]
-
-    n_q = Qp // tq
-    if prune and prep.n_p > 1:
-        q_lo, q_hi = _tile_bboxes(qpk[:, :3], tq)
-        cand = _candidates(
-            q_lo, q_hi, prep.p_lo, prep.p_hi, prep.n_full_p, k, tp
-        )
-    else:
-        cand = np.tile(np.arange(prep.n_p, dtype=np.int32), (n_q, 1))
-
-    # Group query tiles into kernel calls that (a) fit the SMEM candidate
-    # budget and (b) are shape-homogeneous: tiles are bucketed by their
-    # candidate count rounded to a power of two ≥64, so surface tiles
-    # (tight pruning, ~64-128 candidates) batch thousands of rows per
-    # call while the few background tiles (weak pruning) go in narrow
-    # calls — and every (rows, width) pair is a power of two, keeping the
-    # compiled-kernel set small and stable across images.
-    counts = np.maximum((cand >= 0).sum(1), 1)
-    widths = 64 * 2 ** np.ceil(np.log2(counts / 64).clip(0)).astype(np.int64)
-    # a bucket width must itself fit the SMEM candidate budget even at
-    # one row per call; weakly-pruned tiles beyond the cap run SEGMENTED
-    # candidate passes (top-k merged across segments below) — ADVICE r4
-    w_cap = 1 << int(np.floor(np.log2(_SMEM_CAND_INTS)))
-    widths = np.minimum(widths, w_cap)
-    # keep every (rows, width) pair an exact power of two: pad the
-    # candidate table with -1 columns up to the widest bucket (or a
-    # whole number of w_cap segments) instead of clipping to max_c (a
-    # per-image multiple of 64 that would otherwise add one fresh
-    # compiled shape per distinct image — ADVICE r3)
-    w_max = int(widths.max())
-    if int(counts.max()) > w_cap:
-        w_max = -(-cand.shape[1] // w_cap) * w_cap
-    if w_max > cand.shape[1]:
-        cand = np.concatenate(
-            [cand, np.full((cand.shape[0], w_max - cand.shape[1]), -1,
-                           np.int32)], axis=1,
-        )
+    if plan is None:
+        if queries is None:
+            raise ValueError("knn_pallas needs `queries` or a `plan`")
+        if prep is None:
+            if points is None:
+                raise ValueError(
+                    "knn_pallas needs either `points` or a prebuilt `prep`"
+                )
+            prep = KnnPrep(points, tp=tp, prune=prune)
+        elif points is not None:
+            raise ValueError("pass `points` OR `prep`, not both — the "
+                             "prep already owns a (possibly different) "
+                             "point set")
+        plan = KnnQueryPlan(queries, prep, k=k, tq=tq)
+    prep, k, tq = plan.prep, plan.k, plan.tq
+    tp, M = prep.tp, prep.M
+    Q, n_q = plan.Q, plan.n_q
+    qpk, cand = plan.qpk, plan.cand
+    counts, widths = plan.counts, plan.widths
+    qperm = plan.qperm
+    Qp = n_q * tq
     qtiles = qpk.reshape(n_q, tq, 8)
     d = np.empty((Qp, k), np.float32)
     idx = np.empty((Qp, k), np.int32)

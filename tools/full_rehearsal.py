@@ -100,7 +100,9 @@ def build_tables(n_views=300, H=800):
 
     from nerfail_tpu.data.synthetic import _shade, analytic_coord_map
     from nerfail_tpu.ops.rays import get_rays_np
-    from nerfail_tpu.ops.pallas.knn_kernel import KnnPrep, knn_pallas
+    from nerfail_tpu.ops.pallas.knn_kernel import (
+        KnnPrep, KnnQueryPlan, knn_pallas,
+    )
     from nerfail_tpu.pointset.knn_build import knn_host_tree
 
     os.makedirs(CACHE, exist_ok=True)
@@ -135,29 +137,33 @@ def build_tables(n_views=300, H=800):
     print(f"[tables] k-NN backend: {'pallas/tpu' if on_tpu else 'host tree'}",
           flush=True)
 
-    # the per-view host work (ray gen + shading + coord map, ~2-3 s at
-    # 800²) runs in a prefetch thread OVERLAPPED with the previous view's
-    # TPU k-NN — the r4 serial loop averaged 7.9 s/view against a ~5 s
-    # steady-state kernel time (VERDICT r4 next #8)
+    # ALL per-view host work — ray gen + shading + coord map (~0.3 s)
+    # AND the k-NN query planning (Morton sort + bbox candidate pruning
+    # + SMEM bucketing, ~1.5-3 s numpy) — runs in a prefetch thread
+    # OVERLAPPED with the previous view's TPU kernel calls. r5's
+    # knn_timing.json showed the planning (not the view prep) was what
+    # serialized with the kernels (VERDICT r4 next #8).
     from concurrent.futures import ThreadPoolExecutor
 
     def prep_view(v):
         o, d = get_rays_np(H, H, K, poses[v])
         rgba = _shade(o.reshape(-1, 3), d.reshape(-1, 3)).reshape(H, H, 4)
         cm = analytic_coord_map(poses[v], H, H, K)
-        return rgba, cm
+        plan = (KnnQueryPlan(cm.reshape(-1, 3), prep, k=8)
+                if on_tpu else cm)
+        return rgba, plan
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(prep_view, 0)
         for v in range(n_views):
-            rgba, cm = fut.result()
+            rgba, plan = fut.result()
             if v + 1 < n_views:
                 fut = ex.submit(prep_view, v + 1)
             ori_imgs[v] = np.clip(rgba * 255.0, 0, 255).astype(np.uint8)
             if on_tpu:
-                dist, i8 = knn_pallas(cm.reshape(-1, 3), prep=prep, k=8)
+                dist, i8 = knn_pallas(plan=plan)
             else:
-                dist, i8 = knn_host_tree(cm.reshape(-1, 3), S, k=8)
+                dist, i8 = knn_host_tree(plan.reshape(-1, 3), S, k=8)
             weights[v] = _gauss_weights_np(dist, c).reshape(H, H, 8)
             idx[v] = i8.reshape(H, H, 8)
             if (v + 1) % 25 == 0:
@@ -386,14 +392,17 @@ def _final_asr_eval(delta, weights, idx, ori_imgs, labels, logits_fn, cfg,
 
 def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
                view_batch=4, df_max_iter=50, warm=0, report_path=None,
-               stop_at=None):
+               stop_at=None, a=2.0):
     """Phase 2 (TPU): full-scale attack over the cached tables.
 
     report_path overrides the default per-method report file (used by
     asr_demo so its 60-view run never clobbers the 300-view flagship
     evidence). stop_at (nerfail_s) truncates the epoch walk once attack
     accuracy reaches the threshold — convergence runs don't pay for a
-    flat tail."""
+    flat tail. `a` is the NeRFail-S sign-step size (reference default 2
+    over 100 epochs, attack_NeRFail_S.py:44-48; a=4 walks the same ε-ball
+    in half the epochs when wall-clock is budgeted — the report records
+    the value used)."""
     from nerfail_tpu.attacks.nerfail import nerfail_attack
     from nerfail_tpu.attacks.nerfail_s import nerfail_s_attack
     from nerfail_tpu.config import AttackConfig
@@ -465,8 +474,9 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
 
     t0 = time.time()
     if method == "nerfail_s":
-        cfg = AttackConfig(eps=32.0, a=2.0, batch_size=batch,
+        cfg = AttackConfig(eps=32.0, a=float(a), batch_size=batch,
                            attack_epochs=epochs)
+        report["a"] = float(a)
         delta_init = None
         warm_npz = os.path.join(CACHE,
                                 f"delta_best_nerfail_s_{n_views}.npz")
@@ -550,7 +560,8 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
 
 
 def main(phase="both", method="nerfail_s", n_views=300, H=800, epochs=2,
-         batch=8, view_batch=4, df_max_iter=50, warm=0, stop_at=None):
+         batch=8, view_batch=4, df_max_iter=50, warm=0, stop_at=None,
+         a=2.0):
     if phase in ("tables", "both"):
         build_tables(n_views, H)
         if phase == "tables":
@@ -560,7 +571,7 @@ def main(phase="both", method="nerfail_s", n_views=300, H=800, epochs=2,
         if phase == "classifier":
             return
     run_attack(method, n_views, H, epochs, batch, view_batch, df_max_iter,
-               warm=warm, stop_at=stop_at)
+               warm=warm, stop_at=stop_at, a=a)
 
 
 if __name__ == "__main__":
@@ -569,7 +580,7 @@ if __name__ == "__main__":
         k, v = a.split("=")
         if k in ("phase", "method"):
             kw[k] = v
-        elif k == "stop_at":
+        elif k in ("stop_at", "a"):
             kw[k] = float(v)
         else:
             kw[k] = int(v)
