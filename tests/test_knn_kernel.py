@@ -136,3 +136,23 @@ def test_knn_prep_reused_across_images():
         bd, bi = _brute(q, p, 8)
         np.testing.assert_allclose(d, bd, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(i, bi)
+
+
+def test_knn_query_plan_matches_direct():
+    """A KnnQueryPlan built off the call path (as the table build's
+    prefetch thread does) yields bit-identical results to the direct
+    queries= path."""
+    from nerfail_tpu.ops.pallas.knn_kernel import KnnPrep, KnnQueryPlan
+
+    rng = np.random.default_rng(11)
+    p = rng.uniform(-2, 2, (1000, 3)).astype(np.float32)
+    q = rng.uniform(-2, 2, (260, 3)).astype(np.float32)
+    prep = KnnPrep(p, tp=128)
+    d1, i1 = knn_pallas(q, prep=prep, k=8, tq=64, interpret=True)
+    plan = KnnQueryPlan(q, prep, k=8, tq=64)
+    d2, i2 = knn_pallas(plan=plan, interpret=True)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+    bd, bi = _brute(q, p, 8)
+    np.testing.assert_allclose(d2, bd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i2, bi)
