@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from nerfail_tpu.models.classifiers.common import (
     ConvBN,
@@ -11,21 +12,47 @@ from nerfail_tpu.models.classifiers.common import (
 )
 
 
+def adaptive_avg_pool(x, out: int):
+    """torch AdaptiveAvgPool2d((out, out)) on NHWC: output cell i averages
+    input rows [floor(i·n/out), ceil((i+1)·n/out)). Expressed as two small
+    static matmuls (pooling matrices are compile-time constants), which
+    XLA maps onto the MXU — no gather, no dynamic shapes."""
+    import numpy as np
+
+    n = x.shape[1]
+    m = np.zeros((out, n), np.float32)
+    for i in range(out):
+        s, e = (i * n) // out, -((-(i + 1) * n) // out)
+        m[i, s:e] = 1.0 / (e - s)
+    m = jnp.asarray(m)
+    x = jnp.einsum("oh,nhwc->nowc", m, x)
+    return jnp.einsum("pw,nowc->nopc", m, x)
+
+
 class AlexNet(nn.Module):
+    """torchvision.models.AlexNet topology, exactly (GetModel.py:13-18
+    swaps only the final classifier layer): explicit torch pads
+    (2/2/1/1/1), floor-mode 3×3/2 max pools, adaptive 6×6 avg pool +
+    flatten, and the Dropout→Linear→ReLU classifier ordering. Verified
+    against an executed torch twin in tests/test_alexnet_torch_parity.py."""
+
     num_classes: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = scale_input(x)
-        x = nn.relu(nn.Conv(64, (11, 11), (4, 4), "SAME")(x))
+        x = nn.relu(nn.Conv(64, (11, 11), (4, 4), [(2, 2), (2, 2)])(x))
         x = nn.max_pool(x, (3, 3), (2, 2))
-        x = nn.relu(nn.Conv(192, (5, 5), padding="SAME")(x))
+        x = nn.relu(nn.Conv(192, (5, 5), padding=[(2, 2), (2, 2)])(x))
         x = nn.max_pool(x, (3, 3), (2, 2))
-        x = nn.relu(nn.Conv(384, (3, 3), padding="SAME")(x))
-        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME")(x))
-        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME")(x))
+        x = nn.relu(nn.Conv(384, (3, 3), padding=[(1, 1), (1, 1)])(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)])(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)])(x))
         x = nn.max_pool(x, (3, 3), (2, 2))
-        x = global_avg_pool(x)
+        x = adaptive_avg_pool(x, 6)
+        # torch flattens NCHW → [N, C·6·6]; transpose so the Dense kernel
+        # rows line up with torch's Linear columns under the order-zip
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.relu(nn.Dense(4096)(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
