@@ -6,7 +6,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from nerfail_tpu.models.classifiers.common import (
-    ConvBN,
     global_avg_pool,
     scale_input,
 )
@@ -60,6 +59,31 @@ class AlexNet(nn.Module):
         return nn.Dense(self.num_classes)(x)
 
 
+class _ConvBNReLU6(nn.Module):
+    """torchvision ConvBNReLU: Conv(no bias, explicit pad) → BN(eps 1e-5)
+    → ReLU6. XLA SAME pads misalign with torch pad-1 on even extents (the
+    resnet50 finding), so pads are explicit here."""
+
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    groups: int = 1
+    use_relu6: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            (self.strides, self.strides), [(p, p), (p, p)],
+            feature_group_count=self.groups, use_bias=False,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        )(x)
+        return nn.relu6(x) if self.use_relu6 else x
+
+
 class InvertedResidual(nn.Module):
     features: int
     strides: int
@@ -71,28 +95,28 @@ class InvertedResidual(nn.Module):
         hidden = in_feats * self.expand
         y = x
         if self.expand != 1:
-            y = ConvBN(hidden, (1, 1))(y, train)
-        # depthwise
-        y = nn.Conv(
-            hidden, (3, 3), (self.strides, self.strides), "SAME",
-            feature_group_count=hidden, use_bias=False,
-        )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
-        y = nn.relu6(y)
-        y = ConvBN(self.features, (1, 1), use_relu=False)(y, train)
+            y = _ConvBNReLU6(hidden, 1)(y, train)
+        y = _ConvBNReLU6(hidden, 3, self.strides, groups=hidden)(y, train)
+        y = _ConvBNReLU6(self.features, 1, use_relu6=False)(y, train)
         if self.strides == 1 and in_feats == self.features:
             return x + y
         return y
 
 
 class MobileNetV2(nn.Module):
+    """torchvision.models.MobileNetV2 topology, exactly (width_mult 1):
+    ReLU6 activations, BN eps 1e-5, explicit torch pads, mean-pool +
+    Dropout(0.2) head. Verified against an executed torch twin in
+    tests/test_mobilenet_torch_parity.py."""
+
     num_classes: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = scale_input(x)
-        x = ConvBN(32, (3, 3), (2, 2))(x, train)
-        # (expand, features, repeats, stride)
+        x = _ConvBNReLU6(32, 3, 2)(x, train)
+        # (expand, features, repeats, stride) — torchvision
+        # inverted_residual_setting at width_mult 1
         cfg = [
             (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
@@ -100,7 +124,7 @@ class MobileNetV2(nn.Module):
         for t, c, n, s in cfg:
             for i in range(n):
                 x = InvertedResidual(c, s if i == 0 else 1, t)(x, train)
-        x = ConvBN(1280, (1, 1))(x, train)
+        x = _ConvBNReLU6(1280, 1)(x, train)
         x = global_avg_pool(x)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         return nn.Dense(self.num_classes)(x)
