@@ -1,4 +1,7 @@
-"""DenseNet-121 in flax NHWC (zoo parity with getModel('densenet121'))."""
+"""DenseNet-121 in flax NHWC (zoo parity with getModel('densenet121')).
+
+Torch-exact geometry; verified against an executed torch.nn twin in
+tests/test_densenet_torch_parity.py."""
 
 from __future__ import annotations
 
@@ -41,10 +44,14 @@ class DenseNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = scale_input(x)
-        x = nn.Conv(64, (7, 7), (2, 2), "SAME", use_bias=False)(x)
+        # explicit torch pads: XLA SAME picks (0,1)-style asymmetric pads
+        # on even extents, silently misaligned with torchvision's
+        # Conv2d(7,2,3) / MaxPool2d(3,2,1) geometry
+        x = nn.Conv(64, (7, 7), (2, 2), [(3, 3), (3, 3)],
+                    use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
         for bi, n_layers in enumerate(self.block_sizes):
             for _ in range(n_layers):
                 x = DenseLayer(self.growth)(x, train)
