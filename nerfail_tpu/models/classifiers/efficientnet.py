@@ -1,4 +1,7 @@
-"""EfficientNet-B0 in flax NHWC (zoo parity with getModel('efficientnet_b0'))."""
+"""EfficientNet-B0 in flax NHWC (zoo parity with getModel('efficientnet_b0')).
+
+Torch-exact geometry; verified against an executed torch.nn twin in
+tests/test_efficientnet_torch_parity.py."""
 
 from __future__ import annotations
 
@@ -36,9 +39,10 @@ class MBConv(nn.Module):
         y = x
         if self.expand != 1:
             y = nn.silu(_bn(nn.Conv(hidden, (1, 1), use_bias=False)(y), train))
+        p = (self.kernel - 1) // 2
         y = nn.Conv(
             hidden, (self.kernel, self.kernel),
-            (self.strides, self.strides), "SAME",
+            (self.strides, self.strides), [(p, p), (p, p)],
             feature_group_count=hidden, use_bias=False,
         )(y)
         y = nn.silu(_bn(y, train))
@@ -55,7 +59,10 @@ class EfficientNetB0(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = scale_input(x)
-        x = nn.silu(_bn(nn.Conv(32, (3, 3), (2, 2), "SAME", use_bias=False)(x), train))
+        # explicit torch pads throughout (Conv2dNormActivation uses
+        # (k-1)//2; XLA SAME misaligns on even extents)
+        x = nn.silu(_bn(nn.Conv(32, (3, 3), (2, 2), [(1, 1), (1, 1)],
+                                use_bias=False)(x), train))
         # (expand, feats, repeats, stride, kernel)
         cfg = [
             (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),

@@ -95,9 +95,12 @@ def test_densenet121_logits_match_executed_torch():
         ci = bi = 0
         for kind, v in pairs:
             if kind == "conv":
+                kern, cb = v
                 t_convs[ci].weight.copy_(
-                    torch.from_numpy(v.transpose(3, 2, 0, 1).copy())
+                    torch.from_numpy(kern.transpose(3, 2, 0, 1).copy())
                 )
+                if cb is not None:
+                    t_convs[ci].bias.copy_(torch.from_numpy(cb))
                 ci += 1
             elif kind == "bn":
                 sc, b, mu, var = v

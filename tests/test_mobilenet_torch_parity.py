@@ -67,7 +67,9 @@ def _walk_flax(params, stats, out):
     for name in params:
         p = params[name]
         if name.startswith("Conv_"):
-            out.append(("conv", np.asarray(p["kernel"])))
+            out.append(("conv", (np.asarray(p["kernel"]),
+                                 np.asarray(p["bias"])
+                                 if "bias" in p else None)))
         elif name.startswith("BatchNorm_"):
             s = stats[name]
             out.append(("bn", (np.asarray(p["scale"]),
@@ -78,7 +80,8 @@ def _walk_flax(params, stats, out):
             out.append(("dense", (np.asarray(p["kernel"]),
                                   np.asarray(p["bias"]))))
         else:
-            _walk_flax(p, stats[name], out)
+            # BN-free submodules (e.g. SqueezeExcite) have no stats entry
+            _walk_flax(p, stats.get(name, {}) if stats else {}, out)
 
 
 @pytest.mark.slow
@@ -116,9 +119,12 @@ def test_mobilenetv2_logits_match_executed_torch():
         ci = bi = 0
         for kind, v in pairs:
             if kind == "conv":
+                kern, cb = v
                 t_convs[ci].weight.copy_(
-                    torch.from_numpy(v.transpose(3, 2, 0, 1).copy())
+                    torch.from_numpy(kern.transpose(3, 2, 0, 1).copy())
                 )
+                if cb is not None:
+                    t_convs[ci].bias.copy_(torch.from_numpy(cb))
                 ci += 1
             elif kind == "bn":
                 sc, b, mu, var = v
