@@ -34,8 +34,11 @@ CLASSIFIER_REGISTRY: Dict[str, Tuple[Callable[..., nn.Module], Optional[int]]] =
     "vgg16": (lambda n=8: VGG16(num_classes=n), 299),
     "alexnet": (lambda n=8: AlexNet(num_classes=n), 299),
     "mobilenet_v2": (lambda n=8: MobileNetV2(num_classes=n), 299),
+    # reference spellings (GetModel.py:28-32): "mobilenet"/"efficientnet"
+    "mobilenet": (lambda n=8: MobileNetV2(num_classes=n), 299),
     "densenet121": (lambda n=8: DenseNet121(num_classes=n), 299),
     "efficientnet_b0": (lambda n=8: EfficientNetB0(num_classes=n), 299),
+    "efficientnet": (lambda n=8: EfficientNetB0(num_classes=n), 299),
     # reference feeds swin 299² and lets torchvision pad internally; we use
     # 224² so every stage is window-divisible (56→28→14→7) with no padding
     "swin_b": (lambda n=8: SwinB(num_classes=n), 224),
