@@ -434,9 +434,14 @@ def run_attack(method="nerfail_s", n_views=300, H=800, epochs=2, batch=8,
     # counted cache bytes under-represent RSS ~1.8× (allocator arenas
     # from the plan-build temporaries), so the budget is set well below
     # host RAM; entries past it rebuild per epoch instead of OOMing.
-    # Adaptive-width plans (r5) are ~4× smaller, so 6 GB of HBM now pins
-    # most of a 300-view run's plans+tables — steady epochs stream less.
-    cache = DeviceBudgetCache(6 << 30, host_budget_bytes=40 << 30)
+    # Adaptive-width plans (r5) are ~4× smaller, so 6 GB of HBM pins
+    # most of a 300-view NeRFail run's plans+tables. NeRFail-S keeps the
+    # r4-proven 2 GB: its batch-8 sign step (full CE backward through
+    # resize+inception at 800²×8) has a larger working set than the
+    # view_batch-4 DeepFool walk, and 6 GB of pins OOMed a 16 GB chip on
+    # the first step (observed r5).
+    pin_gb = 6 if method == "nerfail" else 2
+    cache = DeviceBudgetCache(pin_gb << 30, host_budget_bytes=40 << 30)
     epoch_log = []
     interrupt_after = [None]     # set to an int to exercise resume
 
