@@ -102,7 +102,7 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm()(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio))(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)   # torch nn.GELU is exact erf
         y = nn.Dense(self.dim)(y)
         return x + y
 
@@ -126,7 +126,9 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        # torchvision concat order [x00, x10, x01, x11] (row offset varies
+        # fastest): axes to (B, h, w, col, row, C) before flattening
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(B, H // 2, W // 2, 4 * C)
         x = nn.LayerNorm()(x)
         return nn.Dense(2 * C, use_bias=False)(x)
 

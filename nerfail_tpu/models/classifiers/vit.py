@@ -20,7 +20,8 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_dim = x.shape[-1]
-        x = nn.gelu(nn.Dense(self.hidden)(x))
+        # exact erf GELU (torch nn.GELU default; flax defaults to tanh)
+        x = nn.gelu(nn.Dense(self.hidden)(x), approximate=False)
         return nn.Dense(out_dim)(x)
 
 
